@@ -1,0 +1,184 @@
+"""SpaceTimeTransformer (TimeSformer / frozen-in-time style) video tower.
+
+TPU-native rebuild of the reference video encoder
+(reference: lavila/models/timesformer.py:201-390). Differences by design:
+
+  * channel-last input ``(B, T, H, W, C)`` — native layout for TPU convs;
+  * divided space-time attention is the static batched formulation of
+    :func:`lavila_tpu.ops.attention.divided_attention` instead of einops
+    reshapes over a merged (b h) axis;
+  * activation checkpointing via ``jax.checkpoint`` policies at block
+    granularity (see ``remat`` flag), not torch.utils.checkpoint;
+  * compute dtype is a parameter (bf16 on TPU), params stay fp32.
+
+Semantics kept bit-compatible with the reference:
+  * per-block order: time-attn (pre-LN norm3, optional tanh gate) with
+    residual from x; spatial attn (pre-LN norm1) applied to the time
+    residual but its own residual ALSO taken from x ("frozen-in-time"
+    style, reference timesformer.py:173-198); then MLP (pre-LN norm2).
+  * positional embedding: spatial PE tiled across frames + temporal PE
+    repeated within each frame, CLS PE kept separate
+    (reference timesformer.py:355-364).
+  * zero-init time attention: qkv zeros, proj weight ones — block starts
+    as a pure ViT (reference timesformer.py:97-103).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lavila_tpu.ops.attention import divided_attention
+from lavila_tpu.ops.basic import ACTIVATIONS, LayerNorm, Mlp, trunc_normal_init
+
+Dtype = Any
+
+
+class DividedAttentionBlock(nn.Module):
+    """QKV projection + divided attention + output projection."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    zero_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, num_frames: int, axis: str) -> jax.Array:
+        B, L, D = x.shape
+        H = self.num_heads
+        d = D // H
+        if self.zero_init:
+            kernel_init = nn.initializers.zeros
+            proj_init = nn.initializers.ones
+        else:
+            kernel_init = nn.initializers.lecun_normal()
+            proj_init = nn.initializers.lecun_normal()
+        qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=kernel_init, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, L, H, d)
+        k = k.reshape(B, L, H, d)
+        v = v.reshape(B, L, H, d)
+        out = divided_attention(q, k, v, num_frames, axis)
+        out = out.reshape(B, L, D)
+        return nn.Dense(D, dtype=self.dtype, kernel_init=proj_init,
+                        name="proj")(out)
+
+
+class SpaceTimeBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    act: str = "gelu"
+    is_tanh_gating: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, num_frames: int) -> jax.Array:
+        time_out = DividedAttentionBlock(
+            self.dim, self.num_heads, self.qkv_bias, zero_init=True,
+            dtype=self.dtype, name="timeattn",
+        )(LayerNorm(epsilon=1e-6, name="norm3")(x), num_frames, "time")
+        if self.is_tanh_gating:
+            alpha = self.param("alpha_timeattn", nn.initializers.zeros, ())
+            time_out = jnp.tanh(alpha).astype(x.dtype) * time_out
+        time_residual = x + time_out
+
+        space_out = DividedAttentionBlock(
+            self.dim, self.num_heads, self.qkv_bias,
+            dtype=self.dtype, name="attn",
+        )(LayerNorm(epsilon=1e-6, name="norm1")(time_residual), num_frames,
+          "space")
+        # frozen-in-time: the spatial residual reconnects to the block input
+        # (reference timesformer.py:191-193)
+        space_residual = x + space_out
+
+        mlp_out = Mlp(int(self.dim * self.mlp_ratio), act=self.act,
+                      dtype=self.dtype, name="mlp")(
+            LayerNorm(epsilon=1e-6, name="norm2")(space_residual))
+        return space_residual + mlp_out
+
+
+class SpaceTimeTransformer(nn.Module):
+    """Video tower.
+
+    Call with frames of shape ``(B, T, H, W, C)`` (values already
+    normalized). Returns the CLS feature ``(B, D)`` when ``cls_at_last``
+    (default), else the full normalized token sequence ``(B, 1+T*N, D)``
+    (used by the narrator's attention pooler,
+    reference narrator.py:71-75).
+    """
+
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    num_frames: int = 8
+    ln_pre: bool = False
+    act: str = "gelu"
+    is_tanh_gating: bool = False
+    remat: bool = False
+    dtype: Dtype = jnp.float32
+
+    @property
+    def patches_per_frame(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    @nn.compact
+    def __call__(self, x: jax.Array, cls_at_last: bool = True) -> jax.Array:
+        B, T, H, W, C = x.shape
+        assert T <= self.num_frames, (T, self.num_frames)
+        D = self.embed_dim
+        N = self.patches_per_frame
+
+        # patch embedding: conv per frame, NHWC (CLIP-compatible: no bias
+        # when ln_pre, reference timesformer.py:77)
+        x = x.reshape(B * T, H, W, C).astype(self.dtype)
+        x = nn.Conv(D, kernel_size=(self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    use_bias=not self.ln_pre, dtype=self.dtype,
+                    name="patch_embed")(x)
+        x = x.reshape(B, T * N, D)
+
+        cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, D))
+        pos_embed = self.param("pos_embed", trunc_normal_init(0.02),
+                               (1, N + 1, D))
+        temporal_embed = self.param("temporal_embed", nn.initializers.zeros,
+                                    (1, self.num_frames, D))
+
+        cls = jnp.broadcast_to(cls_token.astype(self.dtype), (B, 1, D))
+        x = jnp.concatenate([cls, x], axis=1)
+
+        # spatial PE tiled over frames; temporal PE repeated within frames
+        tile_pos = jnp.tile(pos_embed[:, 1:], (1, T, 1))
+        tile_time = jnp.repeat(temporal_embed[:, :T], N, axis=1)
+        pe = jnp.concatenate([pos_embed[:, :1], tile_pos + tile_time], axis=1)
+        x = x + pe.astype(self.dtype)
+
+        if self.ln_pre:
+            x = LayerNorm(name="ln_pre")(x)
+
+        block_cls = SpaceTimeBlock
+        if self.remat:
+            block_cls = nn.remat(SpaceTimeBlock, static_argnums=(2,))
+        for i in range(self.depth):
+            blk = block_cls(
+                dim=D, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias, act=self.act,
+                is_tanh_gating=self.is_tanh_gating, dtype=self.dtype,
+                name=f"blocks_{i}",
+            )
+            x = blk(x, T) if not self.remat else blk(x, T)
+
+        norm = LayerNorm(epsilon=1e-6, name="norm")
+        if cls_at_last:
+            return norm(x)[:, 0]
+        return norm(x)

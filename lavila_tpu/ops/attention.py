@@ -1,0 +1,121 @@
+"""Attention primitives, TPU-first.
+
+The TimeSformer "divided space-time" attention
+(reference: lavila/models/timesformer.py:87-144) has an awkward ragged
+structure in the reference: the CLS token attends over all ``1 + F*N``
+tokens, while each patch token attends within its group (same frame for
+spatial attention / same spatial position for temporal attention) plus the
+CLS key/value broadcast into every group.
+
+Here it is formulated as two fully static batched attentions:
+
+  * CLS: a single-query attention over the full token sequence.
+  * Patches: reshape tokens to ``(B, F, N, H, d)``, pick the group axis,
+    prepend the broadcast CLS key/value along the key axis, and run one
+    batched softmax-attention — no ragged ops, no gather, everything maps
+    onto the MXU as one big batched matmul.
+
+This module is the XLA path; ``lavila_tpu.ops.pallas`` holds fused kernels
+that can be swapped in behind the same signatures.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _softmax_f32(scores: jax.Array) -> jax.Array:
+    """Softmax with fp32 accumulation, cast back to the input dtype."""
+    out = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    return out.astype(scores.dtype)
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array,
+              mask: jax.Array | None = None,
+              scale: float | None = None) -> jax.Array:
+    """Multi-head attention over (B, L, H, d) tensors.
+
+    ``mask`` is an additive bias broadcastable to (B, H, Lq, Lk)
+    (use -inf/0, torch-style).
+    """
+    d = q.shape[-1]
+    scale = d ** -0.5 if scale is None else scale
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def divided_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                      num_frames: int, axis: str) -> jax.Array:
+    """Divided space-time attention over a CLS-prefixed token sequence.
+
+    Args:
+      q, k, v: (B, 1 + F*N, H, d) — token 0 is CLS, the rest are patch
+        tokens in frame-major order (frame f, position n) → index 1 + f*N + n.
+      num_frames: F.
+      axis: 'time' — each patch attends to the F tokens sharing its spatial
+        position (plus CLS); 'space' — each patch attends to the N tokens of
+        its own frame (plus CLS).
+
+    Returns:
+      (B, 1 + F*N, H, d). CLS attends over all tokens
+      (reference behaviour: lavila/models/timesformer.py:116-137).
+    """
+    B, L, H, d = q.shape
+    F = num_frames
+    N = (L - 1) // F
+    assert 1 + F * N == L, (L, F)
+    scale = d ** -0.5
+
+    # --- CLS query attends over the full sequence ------------------------
+    cls_q = q[:, :1] * scale                                  # (B, 1, H, d)
+    cls_scores = jnp.einsum("bqhd,bkhd->bhqk", cls_q, k,
+                            preferred_element_type=jnp.float32)
+    cls_probs = jax.nn.softmax(cls_scores, axis=-1).astype(q.dtype)
+    cls_out = jnp.einsum("bhqk,bkhd->bqhd", cls_probs, v)     # (B, 1, H, d)
+
+    # --- patch tokens: grouped attention with CLS k/v prepended ----------
+    def group(t):
+        t = t.reshape(B, F, N, H, d)
+        if axis == "time":
+            t = t.transpose(0, 2, 1, 3, 4)  # (B, N, F, H, d): group=position
+        return t  # space: (B, F, N, H, d): group=frame
+
+    qg = group(q[:, 1:]) * scale            # (B, G, S, H, d)
+    kg = group(k[:, 1:])
+    vg = group(v[:, 1:])
+    G, S = qg.shape[1], qg.shape[2]
+
+    # broadcast the CLS key/value into every group as key index 0
+    cls_k = jnp.broadcast_to(k[:, :1][:, :, None], (B, G, 1, H, d))
+    cls_v = jnp.broadcast_to(v[:, :1][:, :, None], (B, G, 1, H, d))
+    kg = jnp.concatenate([cls_k, kg], axis=2)  # (B, G, 1+S, H, d)
+    vg = jnp.concatenate([cls_v, vg], axis=2)
+
+    scores = jnp.einsum("bgqhd,bgkhd->bhgqk", qg, kg,
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhgqk,bgkhd->bgqhd", probs, vg)          # (B, G, S, H, d)
+
+    if axis == "time":
+        out = out.transpose(0, 2, 1, 3, 4)  # back to (B, F, N, H, d)
+    out = out.reshape(B, F * N, H, d)
+    return jnp.concatenate([cls_out, out], axis=1)
+
+
+def causal_mask(length: int, dtype=jnp.float32) -> jax.Array:
+    """Additive causal mask (1, 1, L, L): 0 on/below diagonal, -inf above."""
+    neg = jnp.finfo(jnp.float32).min
+    m = jnp.triu(jnp.full((length, length), neg, dtype=jnp.float32), k=1)
+    return m[None, None].astype(dtype)
+
+
+def padding_bias(attn_mask: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """(B, L) {0,1} key-padding mask → additive bias (B, 1, 1, L)."""
+    neg = jnp.finfo(jnp.float32).min
+    bias = jnp.where(attn_mask > 0, 0.0, neg)
+    return bias[:, None, None, :].astype(dtype)

@@ -1,0 +1,122 @@
+"""Numerics building blocks shared by every model tower.
+
+TPU notes:
+  * LayerNorm always reduces in float32 regardless of the compute dtype
+    (bf16 activations lose too much precision in the variance estimate);
+    mirrors the fp16-safe LayerNorm of the reference
+    (reference: lavila/models/openai_model.py:168-174).
+  * QuickGELU is the CLIP activation x * sigmoid(1.702 x)
+    (reference: lavila/models/openai_model.py:177-179).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu_exact(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def gelu_new(x: jax.Array) -> jax.Array:
+    """GPT-2's tanh-approximated GELU (HF 'gelu_new')."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+def squared_relu(x: jax.Array) -> jax.Array:
+    """SqReLU from Primer (arXiv:2109.08668); used by the narrator's gated
+    cross-attention MLP (reference: lavila/models/gpt2_gated.py:363-375)."""
+    r = jax.nn.relu(x)
+    return r * r
+
+
+ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
+    "quick_gelu": quick_gelu,
+    "gelu": gelu_exact,
+    "gelu_new": gelu_new,
+    "relu": jax.nn.relu,
+    "squared_relu": squared_relu,
+}
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics and optional bias.
+
+    ``use_bias=False`` with a zero ``beta`` buffer matches the CoCa
+    bias-free LayerNorm (reference: lavila/models/coca.py:28-35).
+    """
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+    use_bias: bool = True
+    use_scale: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        dim = x.shape[-1]
+        if self.use_scale:
+            scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+            y = y * scale
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+            y = y + bias
+        return y.astype(orig_dtype)
+
+
+def trunc_normal_init(std: float = 0.02):
+    """timm-style truncated normal initializer (trunc at ±2σ)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+    return init
+
+
+def normal_init(std: float):
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+class Mlp(nn.Module):
+    """Transformer MLP: fc1 -> act -> fc2 (dropout handled by callers
+    deterministically; the reference uses drop=0 in all released configs)."""
+
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    act: str = "gelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out_dim = self.out_dim or x.shape[-1]
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = ACTIVATIONS[self.act](x)
+        x = nn.Dense(out_dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+def drop_path(x: jax.Array, rate: float, deterministic: bool, rng) -> jax.Array:
+    """Stochastic depth on the batch dim (timm DropPath semantics)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+    return x / keep * mask

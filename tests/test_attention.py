@@ -1,0 +1,74 @@
+"""Divided space-time attention vs a naive per-group numpy reference.
+
+The naive reference replicates the semantics documented in
+reference timesformer.py:107-144: CLS attends globally; each patch token
+attends within its group plus the CLS key/value.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lavila_tpu.ops.attention import attention, causal_mask, divided_attention
+
+
+def naive_softmax(x):
+    x = x - x.max(axis=-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def naive_group_attention(q, k, v, F, axis):
+    """Loop-based divided attention. q,k,v: (B, 1+F*N, H, d)."""
+    B, L, H, d = q.shape
+    N = (L - 1) // F
+    scale = d ** -0.5
+    out = np.zeros_like(q)
+    for b in range(B):
+        for h in range(H):
+            qs, ks, vs = q[b, :, h], k[b, :, h], v[b, :, h]
+            # CLS attends to everything
+            s = naive_softmax(scale * qs[0] @ ks.T)
+            out[b, 0, h] = s @ vs
+            patches = np.arange(1, L)
+            grid = patches.reshape(F, N)  # frame-major token layout
+            groups = grid.T if axis == "time" else grid
+            for g in groups:
+                idx = np.concatenate([[0], g])  # CLS k/v prepended
+                kk, vv = ks[idx], vs[idx]
+                s = naive_softmax(scale * qs[g] @ kk.T)
+                out[b, g, h] = s @ vv
+    return out
+
+
+@pytest.mark.parametrize("axis", ["time", "space"])
+def test_divided_attention_matches_naive(axis):
+    rng = np.random.default_rng(0)
+    B, F, N, H, d = 2, 3, 4, 2, 8
+    L = 1 + F * N
+    q = rng.normal(size=(B, L, H, d)).astype(np.float32)
+    k = rng.normal(size=(B, L, H, d)).astype(np.float32)
+    v = rng.normal(size=(B, L, H, d)).astype(np.float32)
+    got = np.asarray(divided_attention(jnp.array(q), jnp.array(k),
+                                       jnp.array(v), F, axis))
+    want = naive_group_attention(q, k, v, F, axis)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_attention_causal_mask():
+    rng = np.random.default_rng(1)
+    B, L, H, d = 1, 5, 2, 4
+    q = rng.normal(size=(B, L, H, d)).astype(np.float32)
+    k = rng.normal(size=(B, L, H, d)).astype(np.float32)
+    v = rng.normal(size=(B, L, H, d)).astype(np.float32)
+    out = np.asarray(attention(jnp.array(q), jnp.array(k), jnp.array(v),
+                               mask=causal_mask(L)))
+    # position 0 can only see itself → its output equals v[0] exactly
+    np.testing.assert_allclose(out[0, 0], v[0, 0], atol=1e-6)
+    # changing future keys/values must not affect earlier positions
+    k2, v2 = k.copy(), v.copy()
+    k2[:, -1] += 10.0
+    v2[:, -1] += 10.0
+    out2 = np.asarray(attention(jnp.array(q), jnp.array(k2), jnp.array(v2),
+                                mask=causal_mask(L)))
+    np.testing.assert_allclose(out[:, :-1], out2[:, :-1], atol=1e-6)
