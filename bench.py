@@ -1,0 +1,95 @@
+"""Benchmark: TSF-B dual-encoder pretrain step throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+
+The reference publishes no throughput numbers (SURVEY.md §6), so
+``vs_baseline`` reports model FLOPs utilisation (MFU) against the chip's
+bf16 peak — the speed-of-light fraction the task targets.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def flops_per_clip(img=224, patch=16, frames=4, depth=12, dim=768,
+                   text_len=77, text_dim=512, text_depth=12):
+    """Analytic forward FLOPs for the TSF-B dual encoder (matmuls only)."""
+    n = (img // patch) ** 2          # patches/frame
+    L = 1 + frames * n               # video tokens
+    d_head = dim
+    f = 0.0
+    # patch embed conv as matmul: (T*n) x (patch^2*3) x dim
+    f += 2 * frames * n * (patch * patch * 3) * dim
+    per_block = 0.0
+    # qkv+proj for both attentions: 2 * (3+1) * L * dim^2
+    per_block += 2 * 2 * 4 * L * dim * dim
+    # spatial attention scores+out: frames groups of n x (n+1)
+    per_block += 2 * 2 * frames * n * (n + 1) * dim
+    # temporal attention: n groups of frames x (frames+1)
+    per_block += 2 * 2 * n * frames * (frames + 1) * dim
+    # mlp: 2 * L * dim * 4dim * 2 matmuls
+    per_block += 2 * 2 * L * dim * 4 * dim
+    f += depth * per_block
+    # text tower
+    tl = text_len
+    per_tblock = 2 * 4 * tl * text_dim * text_dim \
+        + 2 * 2 * tl * tl * text_dim + 2 * 2 * tl * text_dim * 4 * text_dim
+    f += text_depth * per_tblock
+    return f
+
+
+def main():
+    from lavila_tpu.models import build_model
+    from lavila_tpu.train.optim import make_optimizer
+    from lavila_tpu.train.step import TrainState, make_clip_train_step
+
+    batch_size = 16
+    model = build_model("CLIP_OPENAI_TIMESFORMER_BASE", num_frames=4,
+                        dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    batch = {
+        "frames": jnp.asarray(
+            rng.normal(size=(batch_size, 4, 224, 224, 3)), jnp.float32),
+        "text": jnp.asarray(rng.integers(1, 49407, size=(batch_size, 77)),
+                            jnp.int32),
+    }
+    params = model.init(jax.random.key(0), batch["frames"][:1],
+                        batch["text"][:1])["params"]
+    state = TrainState.create(params, make_optimizer(1e-3))
+    step = jax.jit(make_clip_train_step(model, norm_embed=True),
+                   donate_argnums=(0,))
+
+    # warmup (compile + first-execution latency). NOTE: on the axon tunnel
+    # block_until_ready does not reliably block — force a host read.
+    for _ in range(3):
+        state, metrics = step(state, batch)
+        _ = float(metrics["loss"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+    _ = float(metrics["loss"])  # sync
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = batch_size * iters / dt
+    # fwd + bwd ≈ 3x fwd FLOPs
+    step_flops = 3 * flops_per_clip() * batch_size
+    achieved = step_flops * iters / dt
+    peak = 197e12  # TPU v5e bf16 peak FLOP/s
+    mfu = achieved / peak
+    print(json.dumps({
+        "metric": "tsf_b_pretrain_clips_per_sec_per_chip",
+        "value": round(clips_per_sec, 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(mfu, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Sharded training step for dual-encoder pretraining.
+
+One jitted SPMD program replaces the reference's DDP + AMP + GradScaler +
+ZeRO trio (reference main_pretrain.py:179-223, 470-530):
+
+  * data parallel: the batch is sharded over the 'data' mesh axis; grads
+    come out reduced because the loss is a function of global arrays.
+  * ZeRO-1: optimizer state inherits the param shardings.
+  * bf16: the model computes in bf16 (dtype arg), master params fp32 —
+    no loss scaling needed on TPU.
+  * global-batch InfoNCE: see lavila_tpu.losses.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from lavila_tpu import losses
+from lavila_tpu.train.optim import clamp_logit_scale
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # criterion-owned learnables (e.g. SSLCLIPLoss's logit_scale_pseudo)
+    criterion_params: Any = None
+
+    @classmethod
+    def create(cls, params, tx, criterion_params=None):
+        all_params = {"model": params}
+        if criterion_params is not None:
+            all_params["criterion"] = criterion_params
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(
+                       params if criterion_params is None
+                       else {"model": params, "criterion": criterion_params}),
+                   criterion_params=criterion_params, tx=tx)
+
+
+def make_clip_train_step(model, norm_embed: bool = False,
+                         loss_fn: Callable = losses.clip_loss,
+                         use_ssl: bool = False):
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    batch: dict with 'frames' (B,T,H,W,C), 'text' (B,L) [, 'mask' (B,L)]
+    [, 'gt_indicators' (B,) when use_ssl].
+    """
+
+    def compute_loss(packed, batch):
+        params = packed["model"]
+        kwargs = {}
+        if "mask" in batch:
+            kwargs["mask"] = batch["mask"]
+        out = model.apply({"params": params}, batch["frames"], batch["text"],
+                          norm_embed=norm_embed, **kwargs)
+        if use_ssl:
+            crit = packed["criterion"]
+            metrics = losses.ssl_clip_loss(
+                out["image_embed"], out["text_embed"], out["logit_scale"],
+                jnp.exp(crit["logit_scale_pseudo"]),
+                batch["gt_indicators"])
+        else:
+            metrics = loss_fn(out["image_embed"], out["text_embed"],
+                              out["logit_scale"])
+        return metrics["loss"], metrics
+
+    def train_step(state: TrainState, batch):
+        packed = {"model": state.params}
+        if state.criterion_params is not None:
+            packed["criterion"] = state.criterion_params
+        grads, metrics = jax.grad(compute_loss, has_aux=True)(packed, batch)
+        if state.criterion_params is None:
+            grads = grads["model"]
+            updates, opt_state = state.tx.update(grads, state.opt_state,
+                                                 state.params)
+            params = clamp_logit_scale(
+                optax.apply_updates(state.params, updates))
+            crit = None
+        else:
+            updates, opt_state = state.tx.update(grads, state.opt_state,
+                                                 packed)
+            new_packed = optax.apply_updates(packed, updates)
+            params = clamp_logit_scale(new_packed["model"])
+            crit = new_packed["criterion"]
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state, criterion_params=crit)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_caption_train_step(model, pad_id: int = 0):
+    """Train step for the VCLM narrator (teacher-forced caption loss,
+    reference CaptionLoss loss.py:220-253)."""
+
+    def compute_loss(params, batch):
+        out = model.apply({"params": params}, batch["frames"], batch["text"])
+        metrics = losses.caption_loss(out["logits"], out["labels"],
+                                      pad_id=pad_id)
+        return metrics["loss"], metrics
+
+    def train_step(state: TrainState, batch):
+        grads, metrics = jax.grad(compute_loss, has_aux=True)(
+            state.params, batch)
+        updates, opt_state = state.tx.update(grads, state.opt_state,
+                                             state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), metrics
+
+    return train_step
+
+
+def make_classifier_train_step(model, multihead: bool = False,
+                               label_smoothing: float = 0.0):
+    """Fine-tune classification step: CE (+ label smoothing); multihead =
+    verb + noun + action CE sum (reference
+    main_finetune_classification.py:453-464)."""
+
+    def one_loss(logits, labels):
+        n_cls = logits.shape[-1]
+        if labels.ndim == 1:
+            onehot = jax.nn.one_hot(labels, n_cls)
+        else:
+            onehot = labels
+        if label_smoothing > 0:
+            onehot = (onehot * (1 - label_smoothing)
+                      + label_smoothing / n_cls)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return -jnp.mean(jnp.sum(onehot * logp, axis=-1))
+
+    def compute_loss(params, batch, rng):
+        outs = model.apply({"params": params}, batch["frames"], train=True,
+                           rngs={"dropout": rng})
+        if multihead:
+            loss = sum(one_loss(o, l) for o, l in zip(outs, batch["labels"]))
+            top1 = 100.0 * jnp.mean(
+                jnp.argmax(outs[-1], -1) == batch["labels"][-1])
+        else:
+            loss = one_loss(outs, batch["label"])
+            lab = batch["label"]
+            if lab.ndim > 1:  # multi-label (charades): report loss only
+                top1 = jnp.zeros(())
+            else:
+                top1 = 100.0 * jnp.mean(jnp.argmax(outs, -1) == lab)
+        return loss, {"loss": loss, "acc1": top1}
+
+    def train_step(state: TrainState, batch, rng):
+        grads, metrics = jax.grad(compute_loss, has_aux=True)(
+            state.params, batch, rng)
+        updates, opt_state = state.tx.update(grads, state.opt_state,
+                                             state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), metrics
+
+    return train_step

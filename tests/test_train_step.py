@@ -1,0 +1,111 @@
+"""End-to-end sharded training step on the virtual 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lavila_tpu.models.dual_encoder import VideoCLIP
+from lavila_tpu.models.openai_clip import TextTransformer
+from lavila_tpu.models.timesformer import SpaceTimeTransformer
+from lavila_tpu.parallel import create_mesh, shard_batch, shard_params
+from lavila_tpu.train.optim import (cosine_schedule, make_optimizer, wd_mask,
+                                    clamp_logit_scale)
+from lavila_tpu.train.step import TrainState, make_clip_train_step
+
+
+def tiny_model():
+    return VideoCLIP(
+        vision_model=SpaceTimeTransformer(
+            img_size=32, patch_size=16, embed_dim=32, depth=1, num_heads=4,
+            num_frames=2, ln_pre=True, act="quick_gelu"),
+        text_model=TextTransformer(context_length=8, vocab_size=32, width=32,
+                                   heads=4, layers=1, embed_dim=16),
+        vision_width=32, embed_dim=16)
+
+
+def make_batch(n=16):
+    rng = np.random.default_rng(0)
+    return {
+        "frames": jnp.array(
+            rng.normal(size=(n, 2, 32, 32, 3)).astype(np.float32)),
+        "text": jnp.array(rng.integers(1, 31, size=(n, 8)), jnp.int32),
+    }
+
+
+def test_train_step_decreases_loss_on_mesh():
+    model = tiny_model()
+    batch = make_batch()
+    params = model.init(jax.random.key(0), batch["frames"][:1],
+                        batch["text"][:1])["params"]
+    tx = make_optimizer(cosine_schedule(1e-3, 1e-5, 2, 10, warmup_epochs=0),
+                        weight_decay=0.01)
+    state = TrainState.create(params, tx)
+
+    mesh = create_mesh(data=8, model=1)
+    state = state.replace(
+        params=shard_params(state.params, mesh),
+        opt_state=jax.tree.map(
+            lambda x: x, state.opt_state))
+    batch = shard_batch(batch, mesh)
+
+    step = jax.jit(make_clip_train_step(model, norm_embed=True))
+    state, m0 = step(state, batch)
+    for _ in range(10):
+        state, m = step(state, batch)
+    assert float(m["loss"]) < float(m0["loss"])
+    assert int(state.step) == 11
+    # logit_scale stays clamped
+    assert 0.0 <= float(state.params["logit_scale"]) <= 4.6052 + 1e-6
+
+
+def test_ssl_train_step():
+    model = tiny_model()
+    batch = make_batch(8)
+    batch["gt_indicators"] = jnp.array([1, 0, 1, 0, 1, 0, 1, 0], jnp.int32)
+    params = model.init(jax.random.key(0), batch["frames"][:1],
+                        batch["text"][:1])["params"]
+    tx = make_optimizer(1e-3)
+    crit = {"logit_scale_pseudo": jnp.asarray(np.log(1 / 0.08), jnp.float32)}
+    state = TrainState.create(params, tx, criterion_params=crit)
+    step = jax.jit(make_clip_train_step(model, norm_embed=True, use_ssl=True))
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["num_gt"]) == 4
+
+
+def test_wd_mask_excludes_norms_and_scalars():
+    model = tiny_model()
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, 2, 32, 32, 3)),
+                        jnp.zeros((1, 8), jnp.int32))["params"]
+    mask = wd_mask(params)
+    flat = {jax.tree_util.keystr(p): v
+            for p, v in jax.tree_util.tree_flatten_with_path(mask)[0]}
+    assert not flat["['logit_scale']"]
+    key_bias = [k for k in flat if "bias" in k]
+    assert key_bias and not any(flat[k] for k in key_bias)
+    key_kernels = [k for k in flat
+                   if "kernel" in k and "patch_embed" not in k]
+    assert any(flat[k] for k in key_kernels)
+
+
+def test_clamp_logit_scale():
+    p = {"logit_scale": jnp.float32(9.0), "w": jnp.ones((2, 2))}
+    out = clamp_logit_scale(p)
+    assert abs(float(out["logit_scale"]) - 4.6052) < 1e-5
+    np.testing.assert_array_equal(np.asarray(out["w"]), np.ones((2, 2)))
+
+
+def test_grad_accumulation_multisteps():
+    model = tiny_model()
+    batch = make_batch(8)
+    params = model.init(jax.random.key(0), batch["frames"][:1],
+                        batch["text"][:1])["params"]
+    tx = make_optimizer(1e-3, update_freq=2)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_clip_train_step(model, norm_embed=True))
+    p0 = state.params["logit_scale"]
+    state, _ = step(state, batch)          # accumulate only
+    assert float(state.params["logit_scale"]) == float(p0)
+    state, _ = step(state, batch)          # applies the update
+    assert float(state.params["logit_scale"]) != float(p0)
