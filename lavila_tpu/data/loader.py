@@ -1,0 +1,137 @@
+"""Host input pipeline: sharded sampler + threaded prefetching loader.
+
+Replaces torch DataLoader + DistributedSampler
+(reference: main_pretrain.py:314-337). Decode work happens in a thread
+pool (the native decoder releases the GIL inside FFmpeg), batches are
+collated into fixed-shape numpy dicts ready for ``jax.device_put`` with a
+batch sharding, and an in-flight prefetch queue keeps the TPU fed.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class ShardedSampler:
+    """Deterministic per-host index sharding (DistributedSampler
+    semantics: pad to a multiple of num_shards, shuffle by epoch seed)."""
+
+    def __init__(self, n: int, shard_index: int = 0, num_shards: int = 1,
+                 shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = False):
+        self.n = n
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.drop_last = drop_last
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self):
+        order = np.arange(self.n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        if self.drop_last:
+            per = self.n // self.num_shards
+            order = order[: per * self.num_shards]
+        else:
+            pad = (-len(order)) % self.num_shards
+            if pad:
+                order = np.concatenate([order, order[:pad]])
+        return iter(order[self.shard_index::self.num_shards].tolist())
+
+    def __len__(self):
+        if self.drop_last:
+            return self.n // self.num_shards
+        return (self.n + self.num_shards - 1) // self.num_shards
+
+
+def collate(samples: list[dict]) -> dict:
+    out = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        elif isinstance(vals[0], (int, float, np.integer, np.floating)):
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = vals  # strings etc.
+    return out
+
+
+class DataLoader:
+    """Prefetching loader. ``num_workers`` threads map dataset.__getitem__;
+    ``prefetch`` batches are staged ahead."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 8, drop_last: bool = True,
+                 shard_index: int = 0, num_shards: int = 1, seed: int = 0,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = ShardedSampler(len(dataset), shard_index, num_shards,
+                                      shuffle, seed, drop_last)
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def set_epoch(self, epoch: int):
+        self.sampler.set_epoch(epoch)
+
+    def __len__(self):
+        per_shard = len(self.sampler)
+        if self.drop_last:
+            return per_shard // self.batch_size
+        return (per_shard + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        indices = list(self.sampler)
+        batches = [indices[i:i + self.batch_size]
+                   for i in range(0, len(indices), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                # pipeline at batch granularity; samples fetched in parallel
+                pending = []
+                for b in batches:
+                    if stop.is_set():
+                        break
+                    pending.append(pool.map(self.dataset.__getitem__, b))
+                    while len(pending) > self.prefetch:
+                        q.put(collate(list(pending.pop(0))))
+                for fut in pending:
+                    if stop.is_set():
+                        break
+                    q.put(collate(list(fut)))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

@@ -1,0 +1,165 @@
+"""Samplers, transforms, dataset parsers and the prefetch loader."""
+
+import os
+import os.path as osp
+import pickle
+
+import numpy as np
+import pytest
+
+from lavila_tpu.data.datasets import (DatasetConfig, VideoCaptionDataset,
+                                      VideoClassyDataset, datetime2sec,
+                                      parse_charades_ego_metadata,
+                                      parse_ek100_metadata)
+from lavila_tpu.data.loader import DataLoader, ShardedSampler, collate
+from lavila_tpu.data.sampling import (clip_window_frame_ids,
+                                      uniform_frame_ids)
+from lavila_tpu.data import transforms as T
+from lavila_tpu.data.tokenizers import ClipBpeTokenizer
+from lavila_tpu.data.video import encode_test_video
+
+
+def test_uniform_frame_ids_midpoints():
+    # midpoints of the 4 uniform segments over [0, 32): seg = 31/4
+    ids = uniform_frame_ids(0, 32, 4, jitter=False)
+    assert list(ids) == [4, 12, 19, 27]
+    ids = uniform_frame_ids(10, 42, 4, jitter=False)
+    assert list(ids) == [14, 22, 29, 37]
+
+
+def test_uniform_frame_ids_jitter_within_segments():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        ids = uniform_frame_ids(0, 64, 8, jitter=True, rng=rng)
+        assert (np.diff(ids) >= 0).all()
+        assert ids.min() >= 0 and ids.max() <= 64
+
+
+def test_clip_window_short_video_clamps():
+    ids = clip_window_frame_ids(0, 10, clip_length=8, clip_stride=2)
+    assert len(ids) == 8
+    assert ids.max() == 9
+
+
+def test_clip_window_multi_clip_eval():
+    ids = clip_window_frame_ids(0, 100, clip_length=4, clip_stride=2,
+                                num_clips=3, jitter=False)
+    assert len(ids) == 12
+    assert list(ids[:4]) == [0, 2, 4, 6]
+    assert list(ids[-4:]) == [92, 94, 96, 98]
+
+
+def test_transforms_shapes():
+    clip = np.random.default_rng(0).uniform(
+        0, 255, (4, 60, 80, 3)).astype(np.float32)
+    out = T.TrainTransform(32)(clip)
+    assert out.shape == (4, 32, 32, 3)
+    out = T.EvalTransform(32)(clip)
+    assert out.shape == (4, 32, 32, 3)
+    views = T.EvalTransform(32, num_spatial_crops=3)(clip)
+    assert views.shape == (3, 4, 32, 32, 3)
+
+
+def test_resize_bilinear_constant_preserved():
+    clip = np.full((2, 20, 30, 3), 7.0, np.float32)
+    out = T.resize(clip, 13, 17)
+    np.testing.assert_allclose(out, 7.0, atol=1e-4)
+
+
+def test_temporal_crops():
+    clip = np.arange(16, dtype=np.float32).reshape(16, 1, 1, 1) * np.ones(
+        (16, 4, 4, 3), np.float32)
+    crops = T.temporal_crops(clip, frames_per_clip=4, stride=4)
+    assert len(crops) == 4
+    assert crops[1][0, 0, 0, 0] == 4.0
+
+
+def test_normalization_for_model():
+    m, s = T.normalization_for_model("CLIP_OPENAI_TIMESFORMER_BASE")
+    assert np.allclose(m, T.OPENAI_MEAN)
+    m, s = T.normalization_for_model("CLIP_HF_TIMESFORMER_DISTILBERT_BASE")
+    assert np.allclose(m, T.IMAGENET_MEAN)
+
+
+def test_datetime2sec():
+    assert datetime2sec("00:01:30.5") == 90.5
+    assert datetime2sec("01:00:00") == 3600
+
+
+def test_parse_ek100_metadata(tmp_path):
+    csv_text = (
+        "narration_id,participant_id,video_id,narration_timestamp,"
+        "start_timestamp,stop_timestamp,start_frame,stop_frame,narration,"
+        "verb,verb_class,noun,noun_class,all_nouns,all_noun_classes\n"
+        "P01_1,P01,P01_01,00:00:00.5,00:00:01.0,00:00:03.0,60,180,"
+        "open door,open,2,door,3,['door'],[3]\n")
+    meta = tmp_path / "EPIC_100_retrieval_test.csv"
+    meta.write_text(csv_text)
+    samples = parse_ek100_metadata(str(tmp_path), str(meta),
+                                   probe_fps=lambda p: 50.0)
+    assert samples == [("P01/P01_01.MP4", 50, 150, "open door", 2, 3)]
+
+
+def test_parse_charades_metadata(tmp_path):
+    csv_text = ("id,subject,scene,quality,relevance,verified,script,"
+                "objects,descriptions,actions,length\n"
+                "VID1EGO,s,Kitchen,5,5,Yes,script,objects,desc,"
+                "c092 11.9 21.2;c147 0.0 12.6,30.5\n")
+    meta = tmp_path / "CharadesEgo_v1_test.csv"
+    meta.write_text(csv_text)
+    samples = parse_charades_ego_metadata(str(tmp_path), str(meta), True,
+                                          probe_fps=lambda p: 24.0)
+    assert len(samples) == 2
+    assert samples[0] == ("VID1EGO.mp4", int(np.round(24 * 11.9)),
+                          int(np.ceil(24 * 21.2)), "c092")
+    samples_untrimmed = parse_charades_ego_metadata(
+        str(tmp_path), str(meta), False, probe_fps=lambda p: 24.0)
+    assert samples_untrimmed[0][3] == ["c092", "c147"]
+
+
+def test_ego4d_dataset_end_to_end(tmp_path):
+    """Real decode path: chunked synthetic video + pkl metadata."""
+    vdir = tmp_path / "vid001.mp4"
+    vdir.mkdir()
+    encode_test_video(str(vdir / "0.mp4"), 64, 64, 30, 120)
+    meta = tmp_path / "meta.pkl"
+    with open(meta, "wb") as f:
+        pickle.dump([("vid001", 0.5, 3.0, "opens the drawer"),
+                     ("vid001", 1.0, 2.5, ["cuts onion", "chops onion"],
+                      [0.1, 0.2])], f)
+    cfg = DatasetConfig(dataset="ego4d", root=str(tmp_path),
+                        metadata=str(meta), clip_length=4)
+    ds = VideoCaptionDataset(cfg, transform=T.TrainTransform(32),
+                             tokenizer=ClipBpeTokenizer(), seed=0)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["frames"].shape == (4, 32, 32, 3)
+    assert item["text"].shape == (77,)
+    item2 = ds[1]  # 5-tuple with list narration
+    assert item2["text"][0] == 49406
+
+
+def test_synthetic_dataset_and_loader():
+    cfg = DatasetConfig(dataset="synthetic", root="", metadata="",
+                        clip_length=4)
+    ds = VideoCaptionDataset(cfg, transform=T.TrainTransform(32),
+                             tokenizer=ClipBpeTokenizer(), seed=0)
+    loader = DataLoader(ds, batch_size=8, num_workers=4, shuffle=True,
+                        shard_index=0, num_shards=2, seed=0)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 16  # 256/2 shards /8
+    b = batches[0]
+    assert b["frames"].shape == (8, 4, 32, 32, 3)
+    assert b["text"].shape == (8, 77)
+
+
+def test_sharded_sampler_disjoint_and_complete():
+    s0 = ShardedSampler(100, 0, 4, shuffle=True, seed=1)
+    s1 = ShardedSampler(100, 1, 4, shuffle=True, seed=1)
+    a, b = set(s0), set(s1)
+    assert len(a) == 25 and len(b) == 25
+    assert not (a & b)
+    # same epoch -> deterministic
+    assert list(s0) == list(ShardedSampler(100, 0, 4, True, seed=1))
+    s0.set_epoch(1)
+    assert list(s0) != list(ShardedSampler(100, 0, 4, True, seed=1))
