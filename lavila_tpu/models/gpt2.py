@@ -1,0 +1,305 @@
+"""Gated GPT-2: the narrator's text decoder, with a real KV-cache.
+
+Re-implements the behaviour of the reference's forked HF GPT-2
+(reference: lavila/models/gpt2_gated.py) as a flax module:
+
+  * standard pre-LN GPT-2 blocks (gelu_new MLP, tied LM head, learned wpe);
+  * visual cross-attention inserted every ``cross_attn_freq`` layers —
+    each such block PREPENDS [LN → cross-attn (→ tanh(α_cattn) gate)] and
+    [LN → SqReLU MLP (→ tanh(α_dense) gate)] before the regular
+    self-attn/MLP (reference gpt2_gated.py:399-495). Zero-init scalar
+    gates make the augmented model start exactly as stock GPT-2.
+
+TPU-native decode: the reference re-forwards the whole prefix every step
+(reference narrator.py:118-119); here decoding uses
+  * a fixed-shape per-layer KV cache written with dynamic_update_slice,
+  * cross-attention K/V precomputed ONCE per sequence
+    (:meth:`GPT2LMHead.precompute_cross_kv`),
+  * single-token steps driven by ``lax.scan`` in the narrator.
+
+HF weight import is 1:1: Conv1D weights are (in, out) like flax Dense
+kernels — no transposes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from lavila_tpu.ops.basic import ACTIVATIONS, LayerNorm
+
+Dtype = Any
+
+NEG_INF = jnp.finfo(jnp.float32).min
+
+
+@dataclasses.dataclass(frozen=True)
+class GPT2Config:
+    vocab_size: int = 50257
+    n_positions: int = 1024
+    n_embd: int = 768
+    n_layer: int = 12
+    n_head: int = 12
+    activation: str = "gelu_new"
+    layer_norm_epsilon: float = 1e-5
+    cross_attn_freq: int = 0       # 0 → stock GPT-2, k → x-attn on layers i%k==0
+    gated_xattn: bool = True
+    remat: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_head
+
+
+PRESETS = {
+    "gpt2": GPT2Config(),
+    "gpt2-medium": GPT2Config(n_embd=1024, n_layer=24, n_head=16),
+    "gpt2-large": GPT2Config(n_embd=1280, n_layer=36, n_head=20),
+    "gpt2-xl": GPT2Config(n_embd=1600, n_layer=48, n_head=25),
+}
+
+
+def augment_config(cfg: GPT2Config, cross_attn_freq: int = 1,
+                   gated_xattn: bool = True, remat: bool = False
+                   ) -> GPT2Config:
+    """Equivalent of the reference's augment_gpt2_config
+    (reference gpt2_gated.py:84-89)."""
+    return dataclasses.replace(cfg, cross_attn_freq=cross_attn_freq,
+                               gated_xattn=gated_xattn, remat=remat)
+
+
+def init_cache(cfg: GPT2Config, batch: int, max_len: int,
+               dtype=jnp.float32) -> dict:
+    """Fixed-shape self-attention KV cache: per layer (B, max_len, H, d)."""
+    shape = (batch, max_len, cfg.n_head, cfg.head_dim)
+    return {
+        f"layer_{i}": {"k": jnp.zeros(shape, dtype),
+                       "v": jnp.zeros(shape, dtype)}
+        for i in range(cfg.n_layer)
+    }
+
+
+class SelfAttention(nn.Module):
+    """GPT-2 self-attention (packed c_attn) with optional KV cache."""
+
+    cfg: GPT2Config
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        D = self.cfg.n_embd
+        self.c_attn = nn.Dense(3 * D, dtype=self.dtype, name="c_attn")
+        self.c_proj = nn.Dense(D, dtype=self.dtype, name="c_proj")
+
+    def __call__(self, x, *, cache=None, cache_index=None):
+        cfg = self.cfg
+        B, L, D = x.shape
+        H, d = cfg.n_head, cfg.head_dim
+        q, k, v = jnp.split(self.c_attn(x), 3, axis=-1)
+        q = q.reshape(B, L, H, d)
+        k = k.reshape(B, L, H, d)
+        v = v.reshape(B, L, H, d)
+
+        if cache is not None:
+            # decode: write the new keys/values at cache_index
+            k_cache = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0))
+            max_len = k_cache.shape[1]
+            # attend to positions <= current
+            pos = cache_index + jnp.arange(L)[:, None]          # (L, 1)
+            keys = jnp.arange(max_len)[None, :]                 # (1, max)
+            bias = jnp.where(keys <= pos, 0.0, NEG_INF)[None, None]
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_cache,
+                                preferred_element_type=jnp.float32)
+            scores = scores / jnp.sqrt(float(d)) + bias
+            probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs,
+                             v_cache.astype(q.dtype))
+            new_cache = {"k": k_cache, "v": v_cache}
+        else:
+            bias = jnp.where(
+                jnp.arange(L)[None, :] <= jnp.arange(L)[:, None],
+                0.0, NEG_INF)[None, None]
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores / jnp.sqrt(float(d)) + bias
+            probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+            new_cache = None
+
+        return self.c_proj(out.reshape(B, L, D)), new_cache
+
+
+class CrossAttention(nn.Module):
+    """GPT-2-style cross-attention: q from hidden states, packed k/v from
+    the (visual) encoder states (reference gpt2_gated.py:149-360)."""
+
+    cfg: GPT2Config
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        D = self.cfg.n_embd
+        self.q_attn = nn.Dense(D, dtype=self.dtype, name="q_attn")
+        self.c_attn = nn.Dense(2 * D, dtype=self.dtype, name="c_attn")
+        self.c_proj = nn.Dense(D, dtype=self.dtype, name="c_proj")
+
+    def compute_kv(self, encoder_states):
+        cfg = self.cfg
+        B, S, _ = encoder_states.shape
+        k, v = jnp.split(self.c_attn(encoder_states), 2, axis=-1)
+        return (k.reshape(B, S, cfg.n_head, cfg.head_dim),
+                v.reshape(B, S, cfg.n_head, cfg.head_dim))
+
+    def __call__(self, x, encoder_states=None, cross_kv=None):
+        cfg = self.cfg
+        B, L, D = x.shape
+        H, d = cfg.n_head, cfg.head_dim
+        q = self.q_attn(x).reshape(B, L, H, d)
+        k, v = cross_kv if cross_kv is not None else self.compute_kv(
+            encoder_states)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(float(d))
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs,
+                         v.astype(q.dtype)).reshape(B, L, D)
+        return self.c_proj(out)
+
+
+class GPT2Mlp(nn.Module):
+    cfg: GPT2Config
+    act: str
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.c_fc = nn.Dense(4 * self.cfg.n_embd, dtype=self.dtype,
+                             name="c_fc")
+        self.c_proj = nn.Dense(self.cfg.n_embd, dtype=self.dtype,
+                               name="c_proj")
+
+    def __call__(self, x):
+        return self.c_proj(ACTIVATIONS[self.act](self.c_fc(x)))
+
+
+class GPT2Block(nn.Module):
+    cfg: GPT2Config
+    layer_idx: int
+    dtype: Dtype = jnp.float32
+
+    @property
+    def has_cross(self) -> bool:
+        return (self.cfg.cross_attn_freq > 0
+                and self.layer_idx % self.cfg.cross_attn_freq == 0)
+
+    def setup(self):
+        cfg = self.cfg
+        eps = cfg.layer_norm_epsilon
+        if self.has_cross:
+            self.ln_cross_attn = LayerNorm(epsilon=eps, name="ln_cross_attn")
+            self.crossattention = CrossAttention(cfg, self.dtype,
+                                                 name="crossattention")
+            self.ln_2_crossattention = LayerNorm(
+                epsilon=eps, name="ln_2_crossattention")
+            self.mlp_crossattention = GPT2Mlp(cfg, "squared_relu",
+                                              self.dtype,
+                                              name="mlp_crossattention")
+            if cfg.gated_xattn:
+                self.alpha_cattn = self.param("alpha_cattn",
+                                              nn.initializers.zeros, ())
+                self.alpha_dense = self.param("alpha_dense",
+                                              nn.initializers.zeros, ())
+        self.ln_1 = LayerNorm(epsilon=eps, name="ln_1")
+        self.attn = SelfAttention(cfg, self.dtype, name="attn")
+        self.ln_2 = LayerNorm(epsilon=eps, name="ln_2")
+        self.mlp = GPT2Mlp(cfg, cfg.activation, self.dtype, name="mlp")
+
+    def __call__(self, x, *, encoder_states=None, cross_kv=None,
+                 cache=None, cache_index=None):
+        cfg = self.cfg
+        if self.has_cross and (encoder_states is not None
+                               or cross_kv is not None):
+            att = self.crossattention(self.ln_cross_attn(x), encoder_states,
+                                      cross_kv)
+            if cfg.gated_xattn:
+                att = jnp.tanh(self.alpha_cattn).astype(x.dtype) * att
+            x = x + att
+            ff = self.mlp_crossattention(self.ln_2_crossattention(x))
+            if cfg.gated_xattn:
+                ff = jnp.tanh(self.alpha_dense).astype(x.dtype) * ff
+            x = x + ff
+
+        att, new_cache = self.attn(self.ln_1(x), cache=cache,
+                                   cache_index=cache_index)
+        x = x + att
+        x = x + self.mlp(self.ln_2(x))
+        return x, new_cache
+
+
+class GPT2LMHead(nn.Module):
+    """GPT-2 with tied LM head and optional gated visual cross-attention.
+
+    Training / prefill: ``__call__(ids, encoder_states)`` → logits.
+    Decode: precompute ``cross_kv`` once (method='precompute_cross_kv'),
+    then call with ``cache``/``cache_index`` feeding one token at a time.
+    """
+
+    cfg: GPT2Config
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        self.wte = nn.Embed(cfg.vocab_size, cfg.n_embd,
+                            embedding_init=nn.initializers.normal(0.02),
+                            name="wte")
+        self.wpe = nn.Embed(cfg.n_positions, cfg.n_embd,
+                            embedding_init=nn.initializers.normal(0.01),
+                            name="wpe")
+        self.blocks = [
+            GPT2Block(cfg, i, self.dtype, name=f"h_{i}")
+            for i in range(cfg.n_layer)
+        ]
+        self.ln_f = LayerNorm(epsilon=cfg.layer_norm_epsilon, name="ln_f")
+
+    def __call__(self, input_ids, encoder_states=None, cross_kv=None,
+                 cache=None, cache_index=None):
+        """Returns (logits, new_cache). ``cross_kv``: dict keyed
+        'layer_{i}' for cross layers."""
+        B, L = input_ids.shape
+        pos_start = 0 if cache_index is None else cache_index
+        positions = pos_start + jnp.arange(L)[None]
+        x = (self.wte(input_ids) + self.wpe(positions)).astype(self.dtype)
+
+        new_cache = {} if cache is not None else None
+
+        def run_block(blk, x, layer_cache, layer_ckv, enc):
+            return blk(x, encoder_states=enc, cross_kv=layer_ckv,
+                       cache=layer_cache, cache_index=cache_index)
+
+        if self.cfg.remat and cache is None:
+            run_block = nn.remat(run_block)
+
+        for i, blk in enumerate(self.blocks):
+            layer_cache = cache[f"layer_{i}"] if cache is not None else None
+            layer_ckv = None
+            if cross_kv is not None:
+                layer_ckv = cross_kv.get(f"layer_{i}")
+            x, c = run_block(blk, x, layer_cache, layer_ckv, encoder_states)
+            if new_cache is not None:
+                new_cache[f"layer_{i}"] = c
+        x = self.ln_f(x)
+        logits = x @ self.wte.embedding.T.astype(x.dtype)
+        return logits, new_cache
+
+    def precompute_cross_kv(self, encoder_states) -> dict:
+        """K/V of every cross-attention layer, computed once per decode."""
+        out = {}
+        for i, blk in enumerate(self.blocks):
+            if blk.has_cross:
+                out[f"layer_{i}"] = blk.crossattention.compute_kv(
+                    encoder_states)
+        return out

@@ -1,0 +1,80 @@
+"""Logits warpers and sampling helpers (jnp, fixed shapes).
+
+Functional equivalents of the HF logits processors the reference chains
+(reference: lavila/models/narrator.py:368-389): temperature → top-k →
+top-p, then categorical sampling. All operate on (B, V) fp32 logits and
+keep shapes static (masking with -inf instead of dropping entries).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.finfo(jnp.float32).min
+
+
+def apply_temperature(logits: jax.Array, temperature: float) -> jax.Array:
+    if temperature == 1.0:
+        return logits
+    return logits / temperature
+
+
+def apply_top_k(logits: jax.Array, k: int,
+                min_tokens_to_keep: int = 1) -> jax.Array:
+    """Mask everything below the k-th largest logit."""
+    if k <= 0:
+        return logits
+    k = max(k, min_tokens_to_keep)
+    k = min(k, logits.shape[-1])
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def apply_top_p(logits: jax.Array, p: float,
+                min_tokens_to_keep: int = 1) -> jax.Array:
+    """Nucleus filtering: keep the smallest prefix (by descending prob)
+    with cumulative probability >= p; at least ``min_tokens_to_keep``."""
+    if p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep entries whose cumulative sum up to AND INCLUDING them has
+    # predecessor < p (i.e. the first crossing token is kept)
+    keep_sorted = (cum - probs) < p
+    keep_sorted = keep_sorted.at[..., :min_tokens_to_keep].set(True)
+    # threshold logit value = smallest kept logit
+    num_keep = keep_sorted.sum(axis=-1, keepdims=True)
+    thresh = jnp.take_along_axis(sorted_logits, num_keep - 1, axis=-1)
+    return jnp.where(logits < thresh, NEG_INF, logits)
+
+
+def warp_logits(logits: jax.Array, temperature: float = 1.0,
+                top_k: Optional[int] = None, top_p: Optional[float] = None,
+                min_tokens_to_keep: int = 1) -> jax.Array:
+    """Reference warper order: temperature, top-k, top-p
+    (reference narrator.py:376-385)."""
+    logits = logits.astype(jnp.float32)
+    if temperature and temperature != 1.0:
+        logits = apply_temperature(logits, temperature)
+    if top_k:
+        logits = apply_top_k(logits, top_k, min_tokens_to_keep)
+    if top_p is not None and top_p < 1.0:
+        logits = apply_top_p(logits, top_p, min_tokens_to_keep)
+    return logits
+
+
+def sample_token(rng: jax.Array, logits: jax.Array) -> jax.Array:
+    """Categorical sample per row → (B,) int32."""
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+def entropy(logits: jax.Array) -> jax.Array:
+    """Shannon entropy of softmax(logits) per row (nats) — the reference's
+    PPL proxy for free-running generation (reference narrator.py:127)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    p = jnp.exp(logp)
+    return -jnp.sum(jnp.where(p > 0, p * logp, 0.0), axis=-1)

@@ -24,6 +24,9 @@ from flax import linen as nn
 
 from lavila_tpu.models.dual_encoder import VideoCLIP, VideoCLIPHF
 from lavila_tpu.models.distilbert import DistilBertModel
+from lavila_tpu.models.gpt2 import (GPT2Config, GPT2LMHead, PRESETS,
+                                    augment_config)
+from lavila_tpu.models.narrator import VCLM
 from lavila_tpu.models.openai_clip import TextTransformer, VisionTransformer
 from lavila_tpu.models.timesformer import SpaceTimeTransformer
 
@@ -182,6 +185,111 @@ def CLIP_HF_TIMESFORMER_DISTILBERT_BASE(num_frames=4, **kw):
         projection="default",
         temperature_init=kw.get("temperature_init", 0.07),
         dtype=kw.get("dtype", jnp.float32))
+
+
+# --------------------------------------------------------------------------
+# VCLM narrators: vision tower + attention pooler + gated GPT-2
+# --------------------------------------------------------------------------
+
+_GPT2_HEADS = {"gpt2": 12, "gpt2-large": 20, "gpt2-xl": 25}
+
+
+def _vclm(vision, vision_width: int, gpt2_name: str, cross_attn_freq: int,
+          gated_xattn: bool = False, remat: bool = False,
+          dtype=jnp.float32, **_unused) -> VCLM:
+    cfg = augment_config(PRESETS[gpt2_name],
+                         cross_attn_freq=cross_attn_freq,
+                         gated_xattn=gated_xattn, remat=remat)
+    return VCLM(
+        vision_model=vision,
+        text_decoder=GPT2LMHead(cfg, dtype=dtype),
+        vision_width=vision_width,
+        text_width=cfg.n_embd,
+        num_img_queries=256,
+        dim_head=64,
+        heads=_GPT2_HEADS[gpt2_name],
+        dtype=dtype)
+
+
+class _FrameTokensViT(nn.Module):
+    """CLIP ViT applied per frame; per-frame patch tokens concatenated —
+    the narrator conditioning path for raw CLIP towers
+    (reference narrator.py:63-70)."""
+    vit: VisionTransformer
+
+    @nn.compact
+    def __call__(self, x, cls_at_last=False):
+        B, T = x.shape[:2]
+        toks = self.vit(x.reshape((B * T,) + x.shape[2:]), cls_at_last=False)
+        return toks.reshape(B, T * toks.shape[1], toks.shape[2])
+
+
+@register
+def VCLM_OPENAI_VITB16_GPT2_LARGE(gated_xattn=False, **kw):
+    vit = VisionTransformer(dtype=kw.get("dtype", jnp.float32), **_VIT_GEOM["B16"])
+    return _vclm(_FrameTokensViT(vit), 768, "gpt2-large", 2, gated_xattn,
+                 **kw)
+
+
+@register
+def VCLM_OPENAI_VITB16_GPT2_XL(gated_xattn=False, **kw):
+    vit = VisionTransformer(dtype=kw.get("dtype", jnp.float32), **_VIT_GEOM["B16"])
+    return _vclm(_FrameTokensViT(vit), 768, "gpt2-xl", 2, gated_xattn, **kw)
+
+
+@register
+def VCLM_OPENAI_VITL14_GPT2_XL(gated_xattn=False, **kw):
+    vit = VisionTransformer(dtype=kw.get("dtype", jnp.float32), **_VIT_GEOM["L14"])
+    return _vclm(_FrameTokensViT(vit), 1024, "gpt2-xl", 2, gated_xattn, **kw)
+
+
+@register
+def VCLM_OPENAI_VITL14_336PX_GPT2_XL(gated_xattn=False, **kw):
+    vit = VisionTransformer(dtype=kw.get("dtype", jnp.float32),
+                            **_VIT_GEOM["L14_336PX"])
+    return _vclm(_FrameTokensViT(vit), 1024, "gpt2-xl", 2, gated_xattn, **kw)
+
+
+@register
+def VCLM_OPENAI_TIMESFORMER_BASE_GPT2(gated_xattn=False, num_frames=4,
+                                      timesformer_gated_xattn=False, **kw):
+    vision = _timesformer("base", num_frames, 224, timesformer_gated_xattn,
+                          kw.get("remat", False), kw.get("dtype", jnp.float32))
+    return _vclm(vision, 768, "gpt2", 1, gated_xattn, **kw)
+
+
+@register
+def VCLM_OPENAI_TIMESFORMER_BASE_GPT2_XL(gated_xattn=False, num_frames=4,
+                                         timesformer_gated_xattn=False, **kw):
+    vision = _timesformer("base", num_frames, 224, timesformer_gated_xattn,
+                          kw.get("remat", False), kw.get("dtype", jnp.float32))
+    return _vclm(vision, 768, "gpt2-xl", 2, gated_xattn, **kw)
+
+
+@register
+def VCLM_OPENAI_TIMESFORMER_LARGE_GPT2(gated_xattn=False, num_frames=4,
+                                       timesformer_gated_xattn=False, **kw):
+    vision = _timesformer("large", num_frames, 224, timesformer_gated_xattn,
+                          kw.get("remat", False), kw.get("dtype", jnp.float32))
+    return _vclm(vision, 1024, "gpt2", 1, gated_xattn, **kw)
+
+
+@register
+def VCLM_OPENAI_TIMESFORMER_LARGE_GPT2_XL(gated_xattn=False, num_frames=4,
+                                          timesformer_gated_xattn=False,
+                                          **kw):
+    vision = _timesformer("large", num_frames, 224, timesformer_gated_xattn,
+                          kw.get("remat", False), kw.get("dtype", jnp.float32))
+    return _vclm(vision, 1024, "gpt2-xl", 2, gated_xattn, **kw)
+
+
+@register
+def VCLM_OPENAI_TIMESFORMER_LARGE_336PX_GPT2_XL(
+        gated_xattn=False, num_frames=4, timesformer_gated_xattn=False,
+        **kw):
+    vision = _timesformer("large", num_frames, 336, timesformer_gated_xattn,
+                          kw.get("remat", False), kw.get("dtype", jnp.float32))
+    return _vclm(vision, 1024, "gpt2-xl", 3, gated_xattn, **kw)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,131 @@
+"""Gated GPT-2 and narrator tests — the KV-cache parity test is the key
+correctness property: cached single-token decode must reproduce the full
+re-forward logits exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lavila_tpu.models.gpt2 import (GPT2Config, GPT2LMHead, augment_config,
+                                    init_cache)
+from lavila_tpu.models.narrator import VCLM
+from lavila_tpu.models.timesformer import SpaceTimeTransformer
+from lavila_tpu.models import sampling as S
+
+TINY = GPT2Config(vocab_size=64, n_positions=32, n_embd=32, n_layer=2,
+                  n_head=4)
+TINY_X = augment_config(TINY, cross_attn_freq=2, gated_xattn=True)
+
+
+def test_gpt2_forward_shapes_and_causality():
+    m = GPT2LMHead(TINY)
+    ids = jnp.array([[1, 2, 3, 4, 5]])
+    params = m.init(jax.random.key(0), ids)
+    logits, _ = m.apply(params, ids)
+    assert logits.shape == (1, 5, 64)
+    # causality: changing a later token must not affect earlier logits
+    ids2 = ids.at[0, 4].set(60)
+    logits2, _ = m.apply(params, ids2)
+    np.testing.assert_allclose(np.asarray(logits[:, :4]),
+                               np.asarray(logits2[:, :4]), atol=1e-5)
+
+
+def test_gated_xattn_zero_init_matches_stock():
+    """tanh(0)=0 gates → augmented model == stock GPT-2 at init
+    (the property the reference relies on for warm-starting)."""
+    ids = jnp.array([[5, 9, 3]])
+    enc = jnp.ones((1, 7, 32))
+    mx = GPT2LMHead(TINY_X)
+    px = mx.init(jax.random.key(0), ids, enc)
+    with_enc, _ = mx.apply(px, ids, enc)
+    without_enc, _ = mx.apply(px, ids)
+    np.testing.assert_allclose(np.asarray(with_enc),
+                               np.asarray(without_enc), atol=1e-5)
+
+
+def test_kv_cache_decode_matches_full_forward():
+    """Greedy cached decode step-by-step == full prefix re-forward."""
+    m = GPT2LMHead(TINY_X)
+    ids = jnp.array([[7, 11, 13, 17, 19, 23]])
+    enc = jax.random.normal(jax.random.key(1), (1, 5, 32))
+    params = m.init(jax.random.key(0), ids, enc)
+
+    full_logits, _ = m.apply(params, ids, enc)
+
+    cross_kv = m.apply(params, enc, method="precompute_cross_kv")
+    cache = init_cache(TINY_X, 1, 8)
+    cached = []
+    for i in range(6):
+        logits, cache = m.apply(params, ids[:, i:i + 1], cross_kv=cross_kv,
+                                cache=cache, cache_index=i)
+        cached.append(np.asarray(logits[:, 0]))
+    cached = np.stack(cached, axis=1)
+    np.testing.assert_allclose(cached, np.asarray(full_logits), atol=2e-4,
+                               rtol=1e-4)
+
+
+def tiny_vclm():
+    vision = SpaceTimeTransformer(img_size=32, patch_size=16, embed_dim=24,
+                                  depth=1, num_heads=4, num_frames=2,
+                                  ln_pre=True, act="quick_gelu")
+    return VCLM(vision_model=vision, text_decoder=GPT2LMHead(TINY_X),
+                vision_width=24, text_width=32, num_img_queries=8,
+                dim_head=8, heads=4)
+
+
+def test_vclm_teacher_forced_forward():
+    m = tiny_vclm()
+    frames = jnp.ones((2, 2, 32, 32, 3))
+    text = jnp.array([[1, 4, 6, 8, 2, 0], [1, 5, 7, 2, 0, 0]])
+    params = m.init(jax.random.key(0), frames, text)
+    out = m.apply(params, frames, text)
+    assert out["logits"].shape == (2, 5, 64)
+    assert out["labels"].shape == (2, 5)
+    np.testing.assert_array_equal(np.asarray(out["labels"]),
+                                  np.asarray(text[:, 1:]))
+
+
+def test_vclm_generate_scan():
+    m = tiny_vclm()
+    frames = jnp.ones((2, 2, 32, 32, 3))
+    text = jnp.ones((2, 6), jnp.int32)
+    params = m.init(jax.random.key(0), frames, text)
+    image_tokens = m.apply(params, frames, method="encode_image")
+    ids, ppl = m.apply(params, image_tokens, rng=jax.random.key(1),
+                       bos_id=1, eos_id=2, max_text_length=10,
+                       temperature=0.9, top_k=5,
+                       num_return_sequences=2, method="generate")
+    assert ids.shape == (4, 10)
+    assert (np.asarray(ids[:, 0]) == 1).all()
+    assert ppl.shape == (4,)
+    assert np.isfinite(np.asarray(ppl)).all()
+
+
+def test_vclm_teacher_forcing_ppl():
+    m = tiny_vclm()
+    frames = jnp.ones((1, 2, 32, 32, 3))
+    target = jnp.array([[1, 9, 8, 7, 2, 0, 0, 0]])
+    params = m.init(jax.random.key(0), frames, target)
+    image_tokens = m.apply(params, frames, method="encode_image")
+    ids, ppl = m.apply(params, image_tokens, rng=jax.random.key(1),
+                       bos_id=1, eos_id=2, max_text_length=8,
+                       target=target, teacher_forcing=True,
+                       method="generate")
+    # PPL should be bounded by vocab size for a random model
+    assert 1.0 < float(ppl[0]) < 64.0 * 2
+
+
+def test_warpers():
+    logits = jnp.array([[1.0, 3.0, 2.0, -1.0]])
+    k2 = S.apply_top_k(logits, 2)
+    masked = np.asarray(k2)[0, [0, 3]]
+    assert (masked < -1e30).all()  # fp32-min mask, not literal -inf
+    assert np.asarray(k2)[0, 1] == 3.0
+    # top-p keeps the smallest nucleus
+    p = S.apply_top_p(jnp.array([[0.0, 10.0, 0.0, 0.0]]), 0.9)
+    arr = np.asarray(p)[0]
+    assert arr[1] == 10.0 and (arr[[0, 2, 3]] < -1e30).all()
+    # entropy of uniform = log(V)
+    ent = S.entropy(jnp.zeros((1, 16)))
+    np.testing.assert_allclose(float(ent[0]), np.log(16), rtol=1e-5)
