@@ -1,0 +1,46 @@
+"""Checkpoint manager: save/restore roundtrip, config embedding,
+auto-resume precedence."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lavila_tpu.utils.checkpoints import CheckpointManager, resolve_resume
+
+
+def tree():
+    return {"w": jnp.arange(6.0).reshape(2, 3),
+            "nested": {"b": jnp.ones(4), "step": jnp.int32(7)}}
+
+
+def test_roundtrip_with_config(tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    cfg = {"model": "CLIP_OPENAI_TIMESFORMER_BASE", "clip_length": 4}
+    mgr.save(tree(), epoch=3, config=cfg, metrics={"map": 29.7})
+    restored, meta = mgr.restore(tree())
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.arange(6.0).reshape(2, 3))
+    assert meta["epoch"] == 3
+    assert meta["config"]["model"] == "CLIP_OPENAI_TIMESFORMER_BASE"
+    assert meta["metrics"]["map"] == 29.7
+
+
+def test_epoch_and_best_copies(tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(tree(), epoch=0, is_best=True)
+    mgr.save(tree(), epoch=1)
+    _, meta_latest = mgr.restore(tree(), "latest")
+    assert meta_latest["epoch"] == 1
+    _, meta_best = mgr.restore(tree(), "best")
+    assert meta_best["epoch"] == 0
+    _, meta_e0 = mgr.restore(tree(), "0000")
+    assert meta_e0["epoch"] == 0
+
+
+def test_auto_resume_overrides_explicit(tmp_path):
+    assert resolve_resume(str(tmp_path), None) is None
+    assert resolve_resume(str(tmp_path), "/some/path") == "/some/path"
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(tree(), epoch=0)
+    out = resolve_resume(str(tmp_path), "/some/path")
+    assert out.endswith("checkpoint_latest")
