@@ -1,0 +1,298 @@
+"""Zero-shot evaluation over the five benchmark families.
+
+Equivalent of the reference eval_zeroshot.py: EK-100 MIR retrieval
+(similarity matrix → graded mAP/nDCG), EK-100 CLS / EGTEA / Charades-Ego
+zero-shot classification via prompt-ensembled label embeddings with
+multi-clip/multi-crop logit pooling, and EgoMCQ. Model identity comes
+from the checkpoint's embedded config (checkpoint-as-config,
+reference eval_zeroshot.py:68-97).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lavila_tpu.config import model_kwargs_from_config
+from lavila_tpu.data import transforms as T
+from lavila_tpu.data.datasets import (DatasetConfig, VideoCaptionDataset,
+                                      VideoClassyDataset, VideoMcqDataset)
+from lavila_tpu.data.loader import DataLoader
+from lavila_tpu.data.tokenizers import generate_tokenizer
+from lavila_tpu.eval import metrics as M
+from lavila_tpu.models import build_model
+from lavila_tpu.utils.checkpoints import CheckpointManager
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("zero-shot evaluation")
+    p.add_argument("--dataset", default="ek100_mir",
+                   choices=["ek100_mir", "ek100_cls", "charades_ego",
+                            "egtea", "ego4d_mcq", "synthetic"])
+    p.add_argument("--root", default="")
+    p.add_argument("--metadata", default="")
+    p.add_argument("--metadata-val", default="")
+    p.add_argument("--relevancy-path", default="")
+    p.add_argument("--checkpoint", required=False, default="")
+    p.add_argument("--model", default="CLIP_OPENAI_TIMESFORMER_MINI",
+                   help="used when no checkpoint config is available")
+    p.add_argument("--clip-length", type=int, default=4)
+    p.add_argument("--clip-stride", type=int, default=16)
+    p.add_argument("--num-clips", type=int, default=1)
+    p.add_argument("--num-crops", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--print-freq", type=int, default=10)
+    p.add_argument("--output-json", default="")
+    return p
+
+
+class _Namespace:
+    def __init__(self, d):
+        self.__dict__.update(d)
+
+
+def load_model_from_checkpoint(args):
+    """Rebuild the model from the checkpoint's embedded config; fall back
+    to --model with fresh init (useful for smoke-testing)."""
+    config = {}
+    if args.checkpoint:
+        meta_path = args.checkpoint + ".json"
+        if osp.exists(meta_path):
+            with open(meta_path) as f:
+                config = json.load(f).get("config", {})
+    model_name = config.get("model", args.model)
+    config.setdefault("model", model_name)
+    config.setdefault("clip_length", args.clip_length)
+    cfg_ns = _Namespace(config)
+    model = build_model(model_name, **model_kwargs_from_config(cfg_ns))
+    tokenizer = generate_tokenizer(model_name)
+
+    frames = jnp.zeros((1, args.clip_length,) + crop_shape(model_name),
+                       jnp.float32)
+    text = jnp.zeros((1, 77), jnp.int32)
+    params = model.init(jax.random.key(0), frames, text)["params"]
+    if args.checkpoint:
+        if args.checkpoint.endswith(".pt") or args.checkpoint.endswith(
+                ".pth"):
+            from lavila_tpu.models import import_torch as imp
+            sd = imp.load_torch_state_dict(args.checkpoint)
+            depth = 24 if "LARGE" in model_name else 12
+            params = imp.import_video_clip(
+                sd, depth=depth, text_layers=12,
+                num_frames=config.get("clip_length", args.clip_length))
+        else:
+            mgr = CheckpointManager(osp.dirname(args.checkpoint) or ".")
+            tree, _ = mgr.restore({"params": params}, tag=args.checkpoint)
+            params = tree["params"]
+    return model, {"params": params}, tokenizer, model_name
+
+
+def crop_shape(model_name):
+    crop = 336 if "336PX" in model_name else (
+        64 if "MINI" in model_name else 224)
+    return (crop, crop, 3)
+
+
+def embed_dataset(model, variables, loader, has_mask=False):
+    """Encode all (video, text) pairs → L2-normalized embedding arrays."""
+    enc_i = jax.jit(lambda v, f: model.apply(v, f, method="encode_image"))
+    if has_mask:
+        enc_t = jax.jit(lambda v, t, m: model.apply(
+            v, t, m, method="encode_text"))
+    else:
+        enc_t = jax.jit(lambda v, t: model.apply(
+            v, t, method="encode_text"))
+    vids, txts = [], []
+    for batch in loader:
+        iv = enc_i(variables, jnp.asarray(batch["frames"]))
+        if has_mask:
+            tv = enc_t(variables, jnp.asarray(batch["text"]),
+                       jnp.asarray(batch["mask"]))
+        else:
+            tv = enc_t(variables, jnp.asarray(batch["text"]))
+        vids.append(np.asarray(iv, np.float32))
+        txts.append(np.asarray(tv, np.float32))
+    v = np.concatenate(vids)
+    t = np.concatenate(txts)
+    v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-8)
+    t /= np.maximum(np.linalg.norm(t, axis=1, keepdims=True), 1e-8)
+    return v, t
+
+
+def eval_ek100_mir(args, model, variables, tokenizer, model_name):
+    from lavila_tpu.data.datasets import load_ek100_mir_relevancy
+    mean, std = T.normalization_for_model(model_name)
+    crop = crop_shape(model_name)[0]
+    transform = T.EvalTransform(crop, mean, std)
+    dcfg = DatasetConfig(dataset="ek100_mir", root=args.root,
+                         metadata=args.metadata,
+                         clip_length=args.clip_length,
+                         clip_stride=args.clip_stride)
+    ds = VideoCaptionDataset(dcfg, transform, tokenizer, is_training=False)
+    loader = DataLoader(ds, args.batch_size, shuffle=False, drop_last=False,
+                        num_workers=args.workers)
+    v, t = embed_dataset(model, variables, loader,
+                         has_mask="DISTILBERT" in model_name)
+    sim = v @ t.T
+    sim = (sim + 1) / 2  # rescale (reference eval_zeroshot.py:174)
+    _, rel = load_ek100_mir_relevancy(args.metadata)
+    v_map, t_map, avg_map = M.retrieval_map(sim, rel)
+    v_ndcg, t_ndcg, avg_ndcg = M.retrieval_ndcg(sim, rel)
+    out = {"mAP_v2t": v_map, "mAP_t2v": t_map, "mAP_avg": avg_map,
+           "nDCG_v2t": v_ndcg, "nDCG_t2v": t_ndcg, "nDCG_avg": avg_ndcg}
+    print(json.dumps(out))
+    return out
+
+
+def build_label_embeddings(model, variables, tokenizer, labels,
+                           has_mask=False):
+    """Prompt-ensembled class text embeddings: each label may be a list of
+    narrations; member embeddings are averaged
+    (reference eval_zeroshot.py:216-240)."""
+    enc_t_mask = jax.jit(lambda v, t, m: model.apply(
+        v, t, m, method="encode_text"))
+    enc_t = jax.jit(lambda v, t: model.apply(v, t, method="encode_text"))
+    out = []
+    for label in labels:
+        variants = label if isinstance(label, list) else [label]
+        toks = tokenizer(variants)
+        if isinstance(toks, tuple):
+            emb = enc_t_mask(variables, jnp.asarray(toks[0]),
+                             jnp.asarray(toks[1]))
+        else:
+            emb = enc_t(variables, jnp.asarray(toks))
+        emb = np.asarray(emb, np.float32)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-8)
+        out.append(emb.mean(axis=0))
+    out = np.stack(out)
+    out /= np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-8)
+    return out
+
+
+def eval_classification(args, model, variables, tokenizer, model_name,
+                        labels, label_mapping, multilabel=False):
+    mean, std = T.normalization_for_model(model_name)
+    crop = crop_shape(model_name)[0]
+    transform = T.EvalTransform(crop, mean, std,
+                                num_spatial_crops=args.num_crops)
+    dcfg = DatasetConfig(dataset=args.dataset, root=args.root,
+                         metadata=args.metadata_val or args.metadata,
+                         clip_length=args.clip_length,
+                         clip_stride=args.clip_stride,
+                         num_clips=args.num_clips,
+                         is_trimmed=args.dataset != "charades_ego")
+    ds = VideoClassyDataset(dcfg, transform, label_mapping,
+                            is_training=False)
+    loader = DataLoader(ds, args.batch_size, shuffle=False, drop_last=False,
+                        num_workers=args.workers)
+    class_emb = build_label_embeddings(
+        model, variables, tokenizer, labels,
+        has_mask="DISTILBERT" in model_name)
+
+    enc_i = jax.jit(lambda v, f: model.apply(v, f, method="encode_image"))
+    all_logits, all_labels = [], []
+    for batch in loader:
+        frames = np.asarray(batch["frames"])
+        views = 1
+        if frames.ndim == 6:  # (B, views, T, H, W, C): crops and/or clips
+            views = frames.shape[1]
+            frames = frames.reshape((-1,) + frames.shape[2:])
+        emb = np.asarray(enc_i(variables, jnp.asarray(frames)), np.float32)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-8)
+        logits = emb @ class_emb.T
+        if views > 1:
+            logits = logits.reshape(-1, views, logits.shape[-1])
+            logits = logits.max(axis=1)  # max-pool views (reference :268)
+        all_logits.append(logits)
+        all_labels.append(np.asarray(batch["label"]))
+    logits = np.concatenate(all_logits)
+    labels_arr = np.concatenate(all_labels)
+    if multilabel:
+        mAP, _ = M.multilabel_map(logits, labels_arr)
+        out = {"video_mAP": mAP}
+    elif args.dataset == "egtea":
+        preds = logits.argmax(axis=1)
+        cm = M.confusion_matrix(preds, labels_arr, len(labels))
+        mean_acc, overall = M.mean_class_accuracy(cm)
+        out = {"mean_class_acc": mean_acc, "acc": overall}
+    else:
+        acc1, acc5 = M.topk_accuracy(logits, labels_arr, ks=(1, 5))
+        out = {"acc1": acc1, "acc5": acc5}
+    print(json.dumps(out))
+    return out
+
+
+def eval_mcq(args, model, variables, tokenizer, model_name):
+    mean, std = T.normalization_for_model(model_name)
+    crop = crop_shape(model_name)[0]
+    transform = T.EvalTransform(crop, mean, std)
+    dcfg = DatasetConfig(dataset="ego4d_mcq", root=args.root,
+                         metadata=args.metadata,
+                         clip_length=args.clip_length,
+                         clip_stride=args.clip_stride)
+    ds = VideoMcqDataset(dcfg, transform, tokenizer, is_training=False)
+    loader = DataLoader(ds, args.batch_size, shuffle=False, drop_last=False,
+                        num_workers=args.workers)
+    enc_i = jax.jit(lambda v, f: model.apply(v, f, method="encode_image"))
+    has_mask = "DISTILBERT" in model_name
+    if has_mask:
+        enc_t = jax.jit(lambda v, t, m: model.apply(
+            v, t, m, method="encode_text"))
+    else:
+        enc_t = jax.jit(lambda v, t: model.apply(
+            v, t, method="encode_text"))
+    preds, answers, types = [], [], []
+    for batch in loader:
+        B, O = batch["frames_options"].shape[:2]
+        frames = jnp.asarray(batch["frames_options"].reshape(
+            (-1,) + batch["frames_options"].shape[2:]))
+        vemb = np.asarray(enc_i(variables, frames), np.float32)
+        vemb /= np.maximum(np.linalg.norm(vemb, axis=1, keepdims=True),
+                           1e-8)
+        if has_mask:
+            qemb = np.asarray(enc_t(variables, jnp.asarray(batch["query"]),
+                                    jnp.asarray(batch["query_mask"])))
+        else:
+            qemb = np.asarray(enc_t(variables, jnp.asarray(batch["query"])))
+        qemb = qemb / np.maximum(
+            np.linalg.norm(qemb, axis=1, keepdims=True), 1e-8)
+        sim = np.einsum("bd,bod->bo", qemb, vemb.reshape(B, O, -1))
+        preds.append(sim)
+        answers.append(np.asarray(batch["answer"]))
+        types.append(np.asarray(batch["type"]))
+    out = M.egomcq_accuracy(np.concatenate(preds), np.concatenate(answers),
+                            np.concatenate(types))
+    print(json.dumps(out))
+    return out
+
+
+def main(args):
+    model, variables, tokenizer, model_name = load_model_from_checkpoint(
+        args)
+    if args.dataset == "ek100_mir":
+        out = eval_ek100_mir(args, model, variables, tokenizer, model_name)
+    elif args.dataset == "ego4d_mcq":
+        out = eval_mcq(args, model, variables, tokenizer, model_name)
+    elif args.dataset in ("ek100_cls", "egtea", "charades_ego"):
+        from lavila_tpu.data.label_maps import generate_label_map
+        labels, mapping = generate_label_map(args.dataset,
+                                             metadata=args.metadata)
+        out = eval_classification(
+            args, model, variables, tokenizer, model_name, labels, mapping,
+            multilabel=args.dataset == "charades_ego")
+    else:
+        raise NotImplementedError(args.dataset)
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump(out, f)
+    return out
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

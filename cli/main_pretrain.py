@@ -1,0 +1,194 @@
+"""Dual-encoder / narrator pretraining on a TPU mesh.
+
+Equivalent of the reference's main_pretrain.py (CLI flags kept) rebuilt
+around one jitted SPMD train step: DDP+ZeRO+AMP+GradScaler
+(reference main_pretrain.py:179-223) collapse into sharding annotations
+and bf16 compute; the contrastive all-gather is implicit in the
+global-batch loss (see lavila_tpu/losses.py).
+
+Run without data: ``python -m cli.main_pretrain --dataset synthetic
+--steps 5 --batch-size 8 --output-dir /tmp/run``.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import os.path as osp
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lavila_tpu.config import (PretrainConfig, model_kwargs_from_config,
+                               parse_config)
+from lavila_tpu.data import transforms as T
+from lavila_tpu.data.datasets import ConcatDataset, DatasetConfig, get_dataset
+from lavila_tpu.data.loader import DataLoader
+from lavila_tpu.data.tokenizers import generate_tokenizer
+from lavila_tpu.models import build_model
+from lavila_tpu.parallel import create_mesh, shard_batch, shard_params
+from lavila_tpu.train.optim import cosine_schedule, make_optimizer
+from lavila_tpu.train.step import (TrainState, make_caption_train_step,
+                                   make_clip_train_step)
+from lavila_tpu.utils.checkpoints import CheckpointManager, resolve_resume
+from lavila_tpu.utils.meters import AverageMeter, ProgressMeter, Timer
+from lavila_tpu.utils.random import random_seed
+
+
+def build_dataset(cfg, tokenizer, train_transform):
+    dcfg = DatasetConfig(
+        dataset=cfg.dataset, root=cfg.root, metadata=cfg.metadata,
+        clip_length=cfg.clip_length, clip_stride=cfg.clip_stride,
+        sparse_sample=cfg.sparse_sample,
+        narration_selection=cfg.narration_selection)
+    base = get_dataset(dcfg, train_transform, tokenizer, is_training=True,
+                       seed=cfg.seed)
+    if cfg.metadata_aux is None:
+        return base
+    aux_paths = cfg.metadata_aux.split(",")
+    datasets = [base]
+    indicators = [1]
+    for p in aux_paths:
+        acfg = DatasetConfig(
+            dataset=cfg.dataset, root=cfg.root, metadata=p,
+            clip_length=cfg.clip_length, clip_stride=cfg.clip_stride,
+            sparse_sample=cfg.sparse_sample, narration_selection="random")
+        datasets.append(get_dataset(acfg, train_transform, tokenizer,
+                                    is_training=True, seed=cfg.seed))
+        indicators.append(0)
+    return ConcatDataset(datasets, indicators)
+
+
+def main(cfg: PretrainConfig):
+    random_seed(cfg.seed, jax.process_index())
+    mesh = create_mesh(cfg.mesh_data, cfg.mesh_model)
+    dtype = jnp.float32 if cfg.disable_amp else jnp.bfloat16
+    is_vclm = cfg.model.startswith("VCLM")
+
+    print(f"=> building model {cfg.model} (compute dtype {dtype.__name__})")
+    model = build_model(cfg.model, dtype=dtype,
+                        **model_kwargs_from_config(cfg))
+    tokenizer = generate_tokenizer(cfg.model)
+
+    mean, std = T.normalization_for_model(cfg.model)
+    crop = 336 if "336PX" in cfg.model else (
+        64 if "MINI" in cfg.model else 224)
+    train_transform = T.TrainTransform(crop, mean, std)
+
+    dataset = build_dataset(cfg, tokenizer, train_transform)
+    loader = DataLoader(dataset, cfg.batch_size, shuffle=True,
+                        num_workers=cfg.workers, drop_last=True,
+                        shard_index=jax.process_index(),
+                        num_shards=jax.process_count(), seed=cfg.seed)
+    iters_per_epoch = max(len(loader) // cfg.update_freq, 1)
+    print(f"=> dataset {cfg.dataset}: {len(dataset)} samples, "
+          f"{iters_per_epoch} optim iters/epoch")
+
+    schedule = (cfg.lr if cfg.fix_lr else cosine_schedule(
+        cfg.lr, cfg.lr_end, cfg.epochs, iters_per_epoch,
+        warmup_epochs=cfg.warmup_epochs, start_warmup_lr=cfg.lr_start))
+    tx = make_optimizer(schedule, weight_decay=cfg.wd, betas=cfg.betas,
+                        eps=cfg.eps, clip_grad_value=cfg.clip_grad_value,
+                        clip_grad_type=cfg.clip_grad_type,
+                        update_freq=cfg.update_freq)
+
+    # init params from a sample batch structure
+    sample = next(iter(loader))
+    init_args = (jnp.asarray(sample["frames"][:1]),
+                 jnp.asarray(sample["text"][:1]))
+    params = model.init(jax.random.key(cfg.seed), *init_args)["params"]
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    print(f"=> {n_params/1e6:.1f}M params")
+
+    criterion_params = None
+    use_ssl = cfg.metadata_aux is not None and not is_vclm
+    if use_ssl:
+        criterion_params = {"logit_scale_pseudo": jnp.asarray(
+            math.log(1 / 0.08), jnp.float32)}
+    state = TrainState.create(params, tx, criterion_params=criterion_params)
+
+    mgr = CheckpointManager(cfg.output_dir)
+    start_epoch = cfg.start_epoch
+    resume = resolve_resume(cfg.output_dir, cfg.resume or None)
+    if resume:
+        print(f"=> resuming from {resume}")
+        tree, meta = mgr.restore(
+            {"params": state.params, "opt_state": state.opt_state,
+             "criterion_params": state.criterion_params or {}},
+            tag=resume)
+        state = state.replace(
+            params=tree["params"], opt_state=tree["opt_state"],
+            criterion_params=tree["criterion_params"] or None)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+
+    state = state.replace(params=shard_params(state.params, mesh))
+
+    if is_vclm:
+        step_fn = jax.jit(make_caption_train_step(
+            model, pad_id=tokenizer.pad_token_id), donate_argnums=(0,))
+        metric_names = ["loss", "caption_loss", "caption_acc", "ppl"]
+    else:
+        step_fn = jax.jit(make_clip_train_step(
+            model, norm_embed=cfg.norm_embed, use_ssl=use_ssl),
+            donate_argnums=(0,))
+        metric_names = ["loss", "clip_loss", "clip_acc"]
+
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    total_steps = 0
+    for epoch in range(start_epoch, cfg.epochs):
+        loader.set_epoch(epoch)
+        meters = {k: AverageMeter(k, ":.4f") for k in metric_names}
+        batch_time = AverageMeter("time", ":.3f")
+        data_time = AverageMeter("data", ":.3f")
+        progress = ProgressMeter(
+            len(loader), [batch_time, data_time] + list(meters.values()),
+            prefix=f"Epoch [{epoch}]")
+        timer = Timer()
+        for it, batch in enumerate(loader):
+            data_time.update(timer.lap())
+            keys = ["frames", "text"]
+            if use_ssl:
+                keys.append("gt_indicators")
+            if "mask" in batch:
+                keys.append("mask")
+            device_batch = shard_batch(
+                {k: jnp.asarray(batch[k]) for k in keys}, mesh)
+            state, metrics = step_fn(state, device_batch)
+            if it % cfg.print_freq == 0:
+                loss = float(metrics["loss"])
+                if not math.isfinite(loss):
+                    print(f"loss is {loss}, aborting")
+                    sys.exit(1)
+                for k in metric_names:
+                    if k in metrics:
+                        meters[k].update(float(metrics[k]), cfg.batch_size)
+                batch_time.update(timer.lap())
+                progress.display(it)
+            else:
+                batch_time.update(timer.lap())
+            total_steps += 1
+            if cfg.steps is not None and total_steps >= cfg.steps:
+                break
+
+        if jax.process_index() == 0:
+            tree = {"params": jax.device_get(state.params),
+                    "opt_state": jax.device_get(state.opt_state),
+                    "criterion_params": jax.device_get(
+                        state.criterion_params) or {}}
+            mgr.save(tree, epoch=epoch, config=cfg.asdict())
+            log = {f"train_{k}": m.avg for k, m in meters.items()}
+            log["epoch"] = epoch
+            with open(osp.join(cfg.output_dir, "log.txt"), "a") as f:
+                f.write(json.dumps(log) + "\n")
+        if cfg.steps is not None and total_steps >= cfg.steps:
+            break
+    print("=> done")
+    return state
+
+
+if __name__ == "__main__":
+    main(parse_config(PretrainConfig))

@@ -386,6 +386,28 @@ class VideoClassyDataset(VideoMetadataBase):
         return {"frames": frames.astype(np.float32), "label": label}
 
 
+class ConcatDataset:
+    """Concatenation of datasets with a per-sample source indicator —
+    used to mix ground-truth and pseudo narrations for the SSL loss
+    (reference main_pretrain.py:284-313: GroundTruth/PseudoLabel
+    ConcatDataset)."""
+
+    def __init__(self, datasets: list, indicators: list[int]):
+        assert len(datasets) == len(indicators)
+        self.datasets = datasets
+        self.indicators = indicators
+        self._offsets = np.cumsum([0] + [len(d) for d in datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, i: int):
+        k = int(np.searchsorted(self._offsets, i, side="right")) - 1
+        item = self.datasets[k][i - int(self._offsets[k])]
+        item["gt_indicators"] = np.int32(self.indicators[k])
+        return item
+
+
 def get_dataset(cfg: DatasetConfig, transform, tokenizer,
                 is_training: bool = True, seed=None) -> VideoCaptionDataset:
     return VideoCaptionDataset(cfg, transform, tokenizer, is_training, seed)

@@ -145,7 +145,7 @@ class ClipBpeTokenizer:
         return ids
 
     def decode(self, ids: Sequence[int]) -> str:
-        text = "".join(self.decoder[int(i)] for i in ids)
+        text = "".join(self.decoder.get(int(i), "") for i in ids)
         raw = bytearray(self.byte_decoder[c] for c in text
                         if c in self.byte_decoder)
         return raw.decode("utf-8", errors="replace").replace("</w>", " ")
@@ -359,7 +359,8 @@ def generate_tokenizer(model: str, assets_dir: Optional[str] = None):
         return WordPieceTokenizer(
             os.path.join(hf_path("bert-large-uncased"), "vocab.txt"))
     for suffix, sub in (("GPT2_XL", "gpt2-xl"), ("GPT2_LARGE", "gpt2-large"),
-                        ("GPT2_MEDIUM", "gpt2-medium"), ("GPT2", "gpt2")):
+                        ("GPT2_MEDIUM", "gpt2-medium"),
+                        ("GPT2_MINI", "gpt2"), ("GPT2", "gpt2")):
         if model.endswith(suffix):
             return Gpt2BpeTokenizer.from_dir(hf_path(sub), add_bos=True)
     return ClipBpeTokenizer()

@@ -98,6 +98,42 @@ def _clip_timesformer(size: str, img_size: int, num_frames: int,
 
 
 @register
+def CLIP_OPENAI_TIMESFORMER_MINI(num_frames=4, project_embed_dim=64,
+                                 remat=False, dtype=jnp.float32, **kw):
+    """Tiny debug/CI configuration (not in the reference zoo): 64px /
+    2-layer towers — lets every entry point run end-to-end on CPU."""
+    vision = SpaceTimeTransformer(
+        img_size=64, patch_size=16, embed_dim=64, depth=2, num_heads=4,
+        num_frames=num_frames, ln_pre=True, act="quick_gelu", remat=remat,
+        dtype=dtype)
+    return VideoCLIP(
+        vision_model=vision,
+        text_model=TextTransformer(width=64, heads=4, layers=2,
+                                   embed_dim=project_embed_dim,
+                                   remat=remat, dtype=dtype),
+        vision_width=64, embed_dim=project_embed_dim, dtype=dtype)
+
+
+@register
+def VCLM_OPENAI_TIMESFORMER_MINI_GPT2_MINI(num_frames=4, gated_xattn=False,
+                                           remat=False, dtype=jnp.float32,
+                                           **kw):
+    """Tiny debug/CI narrator (not in the reference zoo)."""
+    vision = SpaceTimeTransformer(
+        img_size=64, patch_size=16, embed_dim=64, depth=2, num_heads=4,
+        num_frames=num_frames, ln_pre=True, act="quick_gelu", remat=remat,
+        dtype=dtype)
+    cfg = augment_config(
+        GPT2Config(vocab_size=50257, n_positions=128, n_embd=64, n_layer=2,
+                   n_head=4), cross_attn_freq=1, gated_xattn=gated_xattn,
+        remat=remat)
+    return VCLM(vision_model=vision, text_decoder=GPT2LMHead(cfg,
+                                                             dtype=dtype),
+                vision_width=64, text_width=64, num_img_queries=16,
+                dim_head=16, heads=4, dtype=dtype)
+
+
+@register
 def CLIP_OPENAI_TIMESFORMER_BASE(num_frames=4, **kw):
     return _clip_timesformer("base", 224, num_frames, **kw)
 
