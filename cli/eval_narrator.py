@@ -1,0 +1,156 @@
+"""Narrator evaluation: teacher-forced PPL + free decoding + NLG metrics.
+
+Equivalent of the reference eval_narrator.py: per clip, (a) teacher-forced
+perplexity against the human narration, (b) free-running generation with
+the chosen decoding strategy, then corpus BLEU/METEOR/ROUGE-L/CIDEr
+(reference eval_narrator.py:172-301; nlg-eval replaced by the offline
+implementations in lavila_tpu.eval.nlg).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lavila_tpu.data import transforms as T
+from lavila_tpu.data.datasets import DatasetConfig, VideoCaptionDataset
+from lavila_tpu.data.loader import DataLoader
+from lavila_tpu.data.tokenizers import generate_tokenizer
+from lavila_tpu.eval.nlg import nlg_scores
+from lavila_tpu.models import build_model
+from lavila_tpu.models.beam import BeamDecoder
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("narrator evaluation")
+    p.add_argument("--dataset", default="ego4d")
+    p.add_argument("--root", default="")
+    p.add_argument("--metadata", default="")
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--model",
+                   default="VCLM_OPENAI_TIMESFORMER_MINI_GPT2_MINI")
+    p.add_argument("--clip-length", type=int, default=4)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--eval-freq", type=int, default=100,
+                   help="evaluate every k-th sample (val subsampling)")
+    p.add_argument("--decoding", default="sample",
+                   choices=["sample", "beam", "beam_sample", "group_beam"])
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--top-p", type=float, default=0.95)
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--max-samples", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output-json", default="")
+    return p
+
+
+def main(args):
+    model = build_model(args.model, num_frames=args.clip_length,
+                        gated_xattn=True)
+    crop = 336 if "336PX" in args.model else (
+        64 if "MINI" in args.model else 224)
+    transform = T.EvalTransform(crop, *T.normalization_for_model(args.model))
+
+    tokenizer = generate_tokenizer(args.model)
+    bos, eos, pad = (tokenizer.bos_token_id, tokenizer.eos_token_id,
+                     tokenizer.pad_token_id)
+
+    dcfg = DatasetConfig(dataset=args.dataset, root=args.root,
+                         metadata=args.metadata,
+                         clip_length=args.clip_length,
+                         subsample_stride=args.eval_freq,
+                         narration_selection="random")
+    ds = VideoCaptionDataset(dcfg, transform, tokenizer, is_training=False,
+                             seed=args.seed)
+    if args.max_samples:
+        ds.samples = ds.samples[:args.max_samples]
+    # keep raw captions for NLG references
+    raw = VideoCaptionDataset(dcfg, None, None, is_training=False,
+                              seed=args.seed)
+    if args.max_samples:
+        raw.samples = raw.samples[:args.max_samples]
+    loader = DataLoader(ds, args.batch_size, shuffle=False, drop_last=False,
+                        num_workers=args.workers)
+
+    frames0 = jnp.zeros((1, args.clip_length, crop, crop, 3), jnp.float32)
+    text0 = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(jax.random.key(args.seed), frames0, text0)["params"]
+    if args.checkpoint:
+        from lavila_tpu.models import import_torch as imp
+        if args.checkpoint.endswith((".pt", ".pth")):
+            sd = imp.load_torch_state_dict(args.checkpoint)
+            vis_depth = 24 if "LARGE" in args.model else 12
+            params = imp.import_vclm(sd, vis_depth,
+                                     model.text_decoder.cfg.n_layer,
+                                     num_frames=args.clip_length)
+        else:
+            from lavila_tpu.utils.checkpoints import CheckpointManager
+            mgr = CheckpointManager(osp.dirname(args.checkpoint) or ".")
+            tree, _ = mgr.restore({"params": params}, tag=args.checkpoint)
+            params = tree["params"]
+    variables = {"params": params}
+
+    encode_image = jax.jit(
+        lambda v, f: model.apply(v, f, method="encode_image"))
+    teacher = jax.jit(lambda v, toks, tgt, key: model.apply(
+        v, toks, rng=key, bos_id=bos, eos_id=eos, pad_id=pad,
+        max_text_length=tgt.shape[1], target=tgt, teacher_forcing=True,
+        method="generate"))
+    free = jax.jit(lambda v, toks, key: model.apply(
+        v, toks, rng=key, bos_id=bos, eos_id=eos, pad_id=pad,
+        max_text_length=77, temperature=args.temperature,
+        top_k=args.top_k or None, top_p=args.top_p, method="generate"))
+    dec = BeamDecoder(model, variables, bos_id=bos, eos_id=eos, pad_id=pad)
+
+    key = jax.random.key(args.seed)
+    ppls, hyps, refs = [], [], []
+    sample_idx = 0
+    for batch in loader:
+        toks = encode_image(variables, jnp.asarray(batch["frames"]))
+        tgt = jnp.asarray(batch["text"])
+        key, k1, k2 = jax.random.split(key, 3)
+        _, tf_ppl = teacher(variables, toks, tgt, k1)
+        ppls.extend(np.asarray(tf_ppl).tolist())
+        if args.decoding == "sample":
+            ids, _ = free(variables, toks, k2)
+            ids = np.asarray(ids)
+        elif args.decoding == "beam":
+            ids, _ = dec.beam_search(toks, num_beams=5)
+        elif args.decoding == "beam_sample":
+            ids, _ = dec.beam_sample(toks,
+                                     rng=np.random.default_rng(args.seed),
+                                     num_beams=5,
+                                     temperature=args.temperature,
+                                     top_p=args.top_p)
+        else:
+            ids, _ = dec.group_beam_search(toks, num_beams=6,
+                                           num_beam_groups=3)
+        for row in ids:
+            row = list(row[1:])
+            if eos in row:
+                row = row[:row.index(eos)]
+            hyps.append(tokenizer.decode(row).strip())
+        n = batch["frames"].shape[0]
+        for j in range(n):
+            narration = raw.samples[sample_idx + j][3]
+            refs.append(narration if isinstance(narration, list)
+                        else [narration])
+        sample_idx += n
+
+    out = nlg_scores(hyps, refs)
+    out["teacher_ppl"] = float(np.mean(ppls))
+    print(json.dumps(out))
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump(out, f)
+    return out
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

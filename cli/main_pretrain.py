@@ -66,6 +66,11 @@ def build_dataset(cfg, tokenizer, train_transform):
 def main(cfg: PretrainConfig):
     random_seed(cfg.seed, jax.process_index())
     mesh = create_mesh(cfg.mesh_data, cfg.mesh_model)
+    dp = mesh.devices.shape[0]
+    if cfg.batch_size % dp != 0:
+        raise ValueError(
+            f"--batch-size {cfg.batch_size} must be divisible by the "
+            f"data-parallel mesh size {dp}")
     dtype = jnp.float32 if cfg.disable_amp else jnp.bfloat16
     is_vclm = cfg.model.startswith("VCLM")
 

@@ -119,6 +119,49 @@ def make_caption_train_step(model, pad_id: int = 0):
     return train_step
 
 
+def make_retrieval_train_step(model, loss_type: str = "adaptive_max_margin",
+                              margin: float = 0.4,
+                              norm_embed: bool = False,
+                              freeze_logit_scale: bool = True):
+    """Fine-tune retrieval step: (Adaptive)MaxMargin over the global batch
+    with EK-100 relevancy weights, or CLIPLoss for CharadesEgo
+    (reference main_finetune_retrieval.py:131-160). ``freeze_logit_scale``
+    zeroes the logit_scale gradient (reference line 142)."""
+
+    def compute_loss(params, batch):
+        kwargs = {}
+        if "mask" in batch:
+            kwargs["mask"] = batch["mask"]
+        out = model.apply({"params": params}, batch["frames"], batch["text"],
+                          norm_embed=norm_embed, **kwargs)
+        if loss_type == "clip":
+            metrics = losses.clip_loss(out["image_embed"],
+                                       out["text_embed"],
+                                       out["logit_scale"])
+        else:
+            weights = batch.get("relevancy") \
+                if loss_type == "adaptive_max_margin" else None
+            metrics = losses.max_margin_loss(
+                out["image_embed"], out["text_embed"], margin=margin,
+                weights=weights)
+        return metrics["loss"], metrics
+
+    def train_step(state: TrainState, batch):
+        grads, metrics = jax.grad(compute_loss, has_aux=True)(
+            state.params, batch)
+        if freeze_logit_scale and "logit_scale" in grads:
+            grads = dict(grads)
+            grads["logit_scale"] = jnp.zeros_like(grads["logit_scale"])
+        updates, opt_state = state.tx.update(grads, state.opt_state,
+                                             state.params)
+        params = clamp_logit_scale(
+            optax.apply_updates(state.params, updates))
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), metrics
+
+    return train_step
+
+
 def make_classifier_train_step(model, multihead: bool = False,
                                label_smoothing: float = 0.0):
     """Fine-tune classification step: CE (+ label smoothing); multihead =

@@ -1,0 +1,65 @@
+"""End-to-end CLI smoke tests on synthetic data (MINI models, CPU)."""
+
+import json
+import os
+import pathlib
+
+import numpy as np
+import pytest
+
+
+def test_pretrain_cli_synthetic(tmp_path):
+    from cli.main_pretrain import main
+    from lavila_tpu.config import PretrainConfig, parse_config
+    cfg = parse_config(PretrainConfig, [
+        "--dataset", "synthetic", "--model", "CLIP_OPENAI_TIMESFORMER_MINI",
+        "--steps", "2", "--batch-size", "8", "--epochs", "1",
+        "--clip-length", "4", "--output-dir", str(tmp_path),
+        "--print-freq", "1", "--workers", "2", "--disable-amp"])
+    state = main(cfg)
+    assert int(state.step) == 2
+    # checkpoint with embedded config was written
+    assert (tmp_path / "checkpoint_latest").exists()
+    meta = json.loads((tmp_path / "checkpoint_latest.json").read_text())
+    assert meta["config"]["model"] == "CLIP_OPENAI_TIMESFORMER_MINI"
+
+
+def test_pretrain_auto_resume(tmp_path):
+    from cli.main_pretrain import main
+    from lavila_tpu.config import PretrainConfig, parse_config
+    argv = ["--dataset", "synthetic", "--model",
+            "CLIP_OPENAI_TIMESFORMER_MINI", "--steps", "1",
+            "--batch-size", "8", "--epochs", "2", "--clip-length", "4",
+            "--output-dir", str(tmp_path), "--workers", "2",
+            "--disable-amp"]
+    main(parse_config(PretrainConfig, argv))
+    # second invocation must auto-resume from epoch 1
+    state = main(parse_config(PretrainConfig, argv))
+    assert (tmp_path / "checkpoint_0001").exists() or \
+        (tmp_path / "checkpoint_0000").exists()
+
+
+def test_vclm_pretrain_cli(tmp_path, monkeypatch):
+    """Caption-loss pretrain path (narrator teacher forcing)."""
+    _write_gpt2_fixture(tmp_path / "tok")
+    monkeypatch.setenv("LAVILA_TOKENIZER_DIR", str(tmp_path / "tok"))
+    from cli.main_pretrain import main
+    from lavila_tpu.config import PretrainConfig, parse_config
+    cfg = parse_config(PretrainConfig, [
+        "--dataset", "synthetic", "--model",
+        "VCLM_OPENAI_TIMESFORMER_MINI_GPT2_MINI", "--steps", "2",
+        "--batch-size", "8", "--epochs", "1", "--clip-length", "4",
+        "--output-dir", str(tmp_path / "run"), "--print-freq", "1",
+        "--workers", "2", "--disable-amp"])
+    state = main(cfg)
+    assert int(state.step) == 2
+
+
+def _write_gpt2_fixture(d: pathlib.Path):
+    from lavila_tpu.data.tokenizers import byte_unicode_table
+    g = d / "gpt2"
+    g.mkdir(parents=True, exist_ok=True)
+    vocab = {u: i for i, u in enumerate(byte_unicode_table().values())}
+    vocab["<|endoftext|>"] = len(vocab)
+    (g / "vocab.json").write_text(json.dumps(vocab))
+    (g / "merges.txt").write_text("#version: 0.2\n")
