@@ -9,9 +9,16 @@ bf16 peak — the speed-of-light fraction the task targets.
 """
 
 import json
+import os
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,24 +28,24 @@ def flops_per_clip(img=224, patch=16, frames=4, depth=12, dim=768,
     """Analytic forward FLOPs for the TSF-B dual encoder (matmuls only)."""
     n = (img // patch) ** 2          # patches/frame
     L = 1 + frames * n               # video tokens
-    d_head = dim
     f = 0.0
-    # patch embed conv as matmul: (T*n) x (patch^2*3) x dim
+    # patch embed conv as matmul: (T*n) MACs of (patch^2*3) x dim
     f += 2 * frames * n * (patch * patch * 3) * dim
     per_block = 0.0
-    # qkv+proj for both attentions: 2 * (3+1) * L * dim^2
-    per_block += 2 * 2 * 4 * L * dim * dim
+    # qkv (Dx3D) + proj (DxD) for both attention types: 2*(3+1) D^2 MACs/tok
+    per_block += 2 * L * (2 * 4) * dim * dim
     # spatial attention scores+out: frames groups of n x (n+1)
     per_block += 2 * 2 * frames * n * (n + 1) * dim
     # temporal attention: n groups of frames x (frames+1)
     per_block += 2 * 2 * n * frames * (frames + 1) * dim
-    # mlp: 2 * L * dim * 4dim * 2 matmuls
-    per_block += 2 * 2 * L * dim * 4 * dim
+    # mlp: two D x 4D matmuls
+    per_block += 2 * L * 2 * dim * 4 * dim
     f += depth * per_block
     # text tower
     tl = text_len
-    per_tblock = 2 * 4 * tl * text_dim * text_dim \
-        + 2 * 2 * tl * tl * text_dim + 2 * 2 * tl * text_dim * 4 * text_dim
+    per_tblock = (2 * tl * 4 * text_dim * text_dim          # qkv + proj
+                  + 2 * 2 * tl * tl * text_dim              # attention
+                  + 2 * tl * 2 * text_dim * 4 * text_dim)   # mlp
     f += text_depth * per_tblock
     return f
 
@@ -54,7 +61,7 @@ def main():
     rng = np.random.default_rng(0)
     batch = {
         "frames": jnp.asarray(
-            rng.normal(size=(batch_size, 4, 224, 224, 3)), jnp.float32),
+            rng.normal(size=(batch_size, 4, 224, 224, 3)), jnp.bfloat16),
         "text": jnp.asarray(rng.integers(1, 49407, size=(batch_size, 77)),
                             jnp.int32),
     }

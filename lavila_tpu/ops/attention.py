@@ -21,8 +21,25 @@ that can be swapped in behind the same signatures.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# 'xla' (default) or 'pallas' — the fused flash kernel
+# (lavila_tpu/ops/pallas/flash_attention.py). Set LAVILA_ATTENTION=pallas
+# or call set_attention_backend().
+_BACKEND = os.environ.get("LAVILA_ATTENTION", "xla")
+
+
+def set_attention_backend(name: str) -> None:
+    global _BACKEND
+    assert name in ("xla", "pallas"), name
+    _BACKEND = name
+
+
+def get_attention_backend() -> str:
+    return _BACKEND
 
 
 def _softmax_f32(scores: jax.Array) -> jax.Array:
@@ -96,10 +113,20 @@ def divided_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     kg = jnp.concatenate([cls_k, kg], axis=2)  # (B, G, 1+S, H, d)
     vg = jnp.concatenate([cls_v, vg], axis=2)
 
-    scores = jnp.einsum("bgqhd,bgkhd->bhgqk", qg, kg,
-                        preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhgqk,bgkhd->bgqhd", probs, vg)          # (B, G, S, H, d)
+    if _BACKEND == "pallas" and axis == "space" and S >= 64:
+        from lavila_tpu.ops.pallas.flash_attention import flash_attention
+        out = flash_attention(
+            qg.reshape(B * G, S, H, d).transpose(0, 2, 1, 3),
+            kg.reshape(B * G, S + 1, H, d).transpose(0, 2, 1, 3),
+            vg.reshape(B * G, S + 1, H, d).transpose(0, 2, 1, 3),
+            scale=1.0)  # qg is pre-scaled
+        out = out.transpose(0, 2, 1, 3).reshape(B, G, S, H, d)
+    else:
+        scores = jnp.einsum("bgqhd,bgkhd->bhgqk", qg, kg,
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhgqk,bgkhd->bgqhd", probs,
+                         vg)                       # (B, G, S, H, d)
 
     if axis == "time":
         out = out.transpose(0, 2, 1, 3, 4)  # back to (B, F, N, H, d)

@@ -1,0 +1,52 @@
+"""Pallas flash attention vs the reference einsum path (interpret mode on
+CPU; the same kernel compiles on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lavila_tpu.ops.attention import attention, causal_mask
+from lavila_tpu.ops.pallas.flash_attention import flash_attention
+
+
+def ref_attention(q, k, v, causal=False):
+    # q,k,v: (B, H, L, d) → reference via the einsum path (B, L, H, d)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    mask = causal_mask(q.shape[2]) if causal else None
+    out = attention(qt, kt, vt, mask=mask)
+    return out.transpose(0, 2, 1, 3)
+
+
+@pytest.mark.parametrize("lq,lk,causal", [
+    (197, 197, False),   # TimeSformer space-attention group size
+    (64, 197, False),    # uneven q/kv
+    (77, 77, True),      # CLIP text causal
+    (130, 260, False),   # multi-block both axes
+])
+def test_flash_matches_reference(lq, lk, causal):
+    rng = np.random.default_rng(0)
+    B, H, d = 2, 3, 64
+    q = jnp.asarray(rng.normal(size=(B, H, lq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, lk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, lk, d)), jnp.float32)
+    got = flash_attention(q, k, v, causal=causal, interpret=True)
+    want = ref_attention(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_flash_bf16():
+    rng = np.random.default_rng(1)
+    B, H, L, d = 1, 2, 96, 64
+    q = jnp.asarray(rng.normal(size=(B, H, L, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, H, L, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, H, L, d)), jnp.bfloat16)
+    got = flash_attention(q, k, v, interpret=True)
+    want = ref_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                         v.astype(jnp.float32))
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), atol=3e-2, rtol=3e-2)
