@@ -100,6 +100,18 @@ def main(cfg: PretrainConfig):
                         eps=cfg.eps, clip_grad_value=cfg.clip_grad_value,
                         clip_grad_type=cfg.clip_grad_type,
                         update_freq=cfg.update_freq)
+    from lavila_tpu.train.freeze import (build_freeze_predicate,
+                                         freeze_by_predicate)
+    frozen = build_freeze_predicate(
+        freeze_temperature=cfg.freeze_temperature,
+        timesformer_freeze_space=cfg.timesformer_freeze_space,
+        freeze_visual_vclm=cfg.freeze_visual_vclm,
+        freeze_visual_vclm_temporal=cfg.freeze_visual_vclm_temporal,
+        freeze_lm_vclm=cfg.freeze_lm_vclm)
+    if any([cfg.freeze_temperature, cfg.timesformer_freeze_space,
+            cfg.freeze_visual_vclm, cfg.freeze_visual_vclm_temporal,
+            cfg.freeze_lm_vclm]):
+        tx = freeze_by_predicate(tx, frozen)
 
     # init params from a sample batch structure
     sample = next(iter(loader))
@@ -143,6 +155,15 @@ def main(cfg: PretrainConfig):
         metric_names = ["loss", "clip_loss", "clip_acc"]
 
     os.makedirs(cfg.output_dir, exist_ok=True)
+    wandb_run = None
+    if cfg.wandb and jax.process_index() == 0:
+        try:
+            import wandb as _wandb
+            wandb_run = _wandb.init(project="lavila_tpu",
+                                    config=cfg.asdict())
+        except Exception as e:  # offline image: keep training
+            print(f"(wandb unavailable: {e})")
+
     total_steps = 0
     for epoch in range(start_epoch, cfg.epochs):
         loader.set_epoch(epoch)
@@ -162,7 +183,13 @@ def main(cfg: PretrainConfig):
                 keys.append("mask")
             device_batch = shard_batch(
                 {k: jnp.asarray(batch[k]) for k in keys}, mesh)
+            if cfg.profile_dir and total_steps == 5:
+                jax.profiler.start_trace(cfg.profile_dir)
             state, metrics = step_fn(state, device_batch)
+            if cfg.profile_dir and total_steps == 10:
+                jax.tree.map(lambda x: x.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
+                print(f"=> profiler trace written to {cfg.profile_dir}")
             if it % cfg.print_freq == 0:
                 loss = float(metrics["loss"])
                 if not math.isfinite(loss):
@@ -173,22 +200,41 @@ def main(cfg: PretrainConfig):
                         meters[k].update(float(metrics[k]), cfg.batch_size)
                 batch_time.update(timer.lap())
                 progress.display(it)
+                if wandb_run is not None:
+                    wandb_run.log({k: m.val for k, m in meters.items()})
             else:
                 batch_time.update(timer.lap())
             total_steps += 1
             if cfg.steps is not None and total_steps >= cfg.steps:
                 break
 
+        probe_metrics = {}
+        if cfg.val_metadata and not is_vclm:
+            # in-training zero-shot EK-100 MIR probe
+            # (reference main_pretrain.py:359-379)
+            from types import SimpleNamespace
+            from cli.eval_zeroshot import eval_ek100_mir
+            probe_args = SimpleNamespace(
+                root=cfg.val_root or cfg.root, metadata=cfg.val_metadata,
+                clip_length=cfg.clip_length, clip_stride=cfg.clip_stride,
+                batch_size=cfg.batch_size, workers=cfg.workers)
+            probe_metrics = eval_ek100_mir(
+                probe_args, model, {"params": state.params}, tokenizer,
+                cfg.model)
         if jax.process_index() == 0:
             tree = {"params": jax.device_get(state.params),
                     "opt_state": jax.device_get(state.opt_state),
                     "criterion_params": jax.device_get(
                         state.criterion_params) or {}}
-            mgr.save(tree, epoch=epoch, config=cfg.asdict())
+            mgr.save(tree, epoch=epoch, config=cfg.asdict(),
+                     metrics=probe_metrics)
             log = {f"train_{k}": m.avg for k, m in meters.items()}
+            log.update(probe_metrics)
             log["epoch"] = epoch
             with open(osp.join(cfg.output_dir, "log.txt"), "a") as f:
                 f.write(json.dumps(log) + "\n")
+            if wandb_run is not None:
+                wandb_run.log(log)
         if cfg.steps is not None and total_steps >= cfg.steps:
             break
     print("=> done")

@@ -69,6 +69,10 @@ class PretrainConfig:
     use_zero: bool = True           # ZeRO falls out of sharding; kept for parity
     use_checkpoint: bool = False    # activation checkpointing (remat)
     use_half: bool = False
+    # in-training zero-shot probe (reference --eval-in-middle-freq &
+    # per-epoch EK-100 probe, main_pretrain.py:359-379)
+    val_metadata: Optional[str] = None
+    val_root: Optional[str] = None
     # system
     print_freq: int = 10
     workers: int = 8
@@ -76,6 +80,7 @@ class PretrainConfig:
     output_dir: str = "./output"
     wandb: bool = False
     save_freq: int = 1
+    profile_dir: Optional[str] = None  # jax.profiler trace output
     # TPU mesh
     mesh_data: int = -1
     mesh_model: int = 1
