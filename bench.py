@@ -52,9 +52,12 @@ def flops_per_clip(img=224, patch=16, frames=4, depth=12, dim=768,
 
 def main():
     from lavila_tpu.models import build_model
+    from lavila_tpu.ops.attention import set_attention_backend
     from lavila_tpu.train.optim import make_optimizer
     from lavila_tpu.train.step import TrainState, make_clip_train_step
 
+    if jax.default_backend() == "tpu":
+        set_attention_backend("pallas")  # fused fwd+bwd flash kernel
     batch_size = 16
     model = build_model("CLIP_OPENAI_TIMESFORMER_BASE", num_frames=4,
                         dtype=jnp.bfloat16)

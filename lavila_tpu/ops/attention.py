@@ -114,12 +114,12 @@ def divided_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     vg = jnp.concatenate([cls_v, vg], axis=2)
 
     if _BACKEND == "pallas" and axis == "space" and S >= 64:
-        from lavila_tpu.ops.pallas.flash_attention import flash_attention
-        out = flash_attention(
+        from lavila_tpu.ops.pallas.flash_attention import fused_attention
+        out = fused_attention(
             qg.reshape(B * G, S, H, d).transpose(0, 2, 1, 3),
             kg.reshape(B * G, S + 1, H, d).transpose(0, 2, 1, 3),
             vg.reshape(B * G, S + 1, H, d).transpose(0, 2, 1, 3),
-            scale=1.0)  # qg is pre-scaled
+            False, 1.0)  # qg is pre-scaled
         out = out.transpose(0, 2, 1, 3).reshape(B, G, S, H, d)
     else:
         scores = jnp.einsum("bgqhd,bgkhd->bhgqk", qg, kg,

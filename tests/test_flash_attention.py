@@ -50,3 +50,52 @@ def test_flash_bf16():
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want), atol=3e-2, rtol=3e-2)
+
+
+def test_fused_attention_custom_vjp_matches_xla_grads():
+    """Pallas fwd+bwd (custom VJP) vs autodiff through the einsum path."""
+    from lavila_tpu.ops.pallas.flash_attention import fused_attention
+    rng = np.random.default_rng(2)
+    B, H, Lq, Lk, d = 1, 2, 67, 70, 32
+    q = jnp.asarray(rng.normal(size=(B, H, Lq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, Lk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, Lk, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(B, H, Lq, d)), jnp.float32)
+
+    def loss_fused(q, k, v):
+        o = fused_attention(q, k, v, False, None, 64, 64, 2, True)
+        return jnp.sum(o * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(ref_attention(q, k, v) * w)
+
+    o_f = fused_attention(q, k, v, False, None, 64, 64, 2, True)
+    np.testing.assert_allclose(np.asarray(o_f),
+                               np.asarray(ref_attention(q, k, v)),
+                               atol=2e-5, rtol=1e-4)
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_f, g_r, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3,
+                                   err_msg=f"d{name}")
+
+
+def test_fused_attention_causal_grads():
+    from lavila_tpu.ops.pallas.flash_attention import fused_attention
+    rng = np.random.default_rng(3)
+    B, H, L, d = 1, 1, 40, 16
+    q = jnp.asarray(rng.normal(size=(B, H, L, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, L, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, L, d)), jnp.float32)
+
+    def loss_fused(q):
+        return jnp.sum(fused_attention(q, k, v, True, None, 32, 32, 1,
+                                       True) ** 2)
+
+    def loss_ref(q):
+        return jnp.sum(ref_attention(q, k, v, causal=True) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_fused)(q)),
+        np.asarray(jax.grad(loss_ref)(q)), atol=5e-4, rtol=1e-3)
