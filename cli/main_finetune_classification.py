@@ -91,6 +91,63 @@ def build_classifier(args, num_classes_or_list, config):
                            dropout=args.dropout), base
 
 
+def validate(args, clf, params, mapping, num_classes, multihead_parts,
+             model_name, labels):
+    """Multi-clip / multi-crop validation with softmax averaging over
+    views, plus EK-100 verb/noun marginalization
+    (reference main_finetune_classification.py:543-709)."""
+    crop = 336 if "336PX" in model_name else (
+        64 if "MINI" in model_name else 224)
+    mean, std = T.normalization_for_model(model_name)
+    transform = T.EvalTransform(crop, mean, std,
+                                num_spatial_crops=args.num_crops)
+    dcfg = DatasetConfig(
+        dataset=args.dataset, root=args.root, metadata=args.metadata_val,
+        clip_length=args.clip_length, clip_stride=args.clip_stride,
+        num_clips=args.num_clips, sparse_sample=args.sparse_sample,
+        is_trimmed=args.dataset != "charades_ego")
+    ds = VideoClassyDataset(dcfg, transform, mapping, is_training=False)
+    loader = DataLoader(ds, args.batch_size, shuffle=False, drop_last=False,
+                        num_workers=args.workers)
+    fwd = jax.jit(lambda p, f: clf.apply({"params": p}, f))
+    probs_all, labels_all = [], []
+    for batch in loader:
+        frames = np.asarray(batch["frames"])
+        views = 1
+        if frames.ndim == 6:
+            views = frames.shape[1]
+            frames = frames.reshape((-1,) + frames.shape[2:])
+        outs = fwd(params, jnp.asarray(frames))
+        if args.use_vn_classifier:
+            outs = outs[-1]  # action head; verb/noun via marginalization
+        probs = np.asarray(jax.nn.softmax(outs.astype(jnp.float32), -1))
+        if views > 1:
+            probs = probs.reshape(-1, views, probs.shape[-1]).mean(axis=1)
+        probs_all.append(probs)
+        labels_all.append(np.asarray(batch["label"]))
+    probs = np.concatenate(probs_all)
+    labels_arr = np.concatenate(labels_all)
+    if args.dataset == "charades_ego":
+        mAP, _ = M.multilabel_map(probs, labels_arr)
+        return {"video_mAP": mAP}
+    out = {}
+    acc1, acc5 = M.topk_accuracy(probs, labels_arr, ks=(1, 5))
+    out["acc1"], out["acc5"] = acc1, acc5
+    if args.dataset == "egtea":
+        cm = M.confusion_matrix(probs.argmax(1), labels_arr, num_classes)
+        out["mean_class_acc"], _ = M.mean_class_accuracy(cm)
+    if multihead_parts is not None:
+        vi = M.marginal_indexes(multihead_parts, 0)
+        ni = M.marginal_indexes(multihead_parts, 1)
+        vprob = M.marginalize(probs, vi)
+        nprob = M.marginalize(probs, ni)
+        out["verb_acc1"] = M.topk_accuracy(
+            vprob, multihead_parts[labels_arr, 0], ks=(1,))[0]
+        out["noun_acc1"] = M.topk_accuracy(
+            nprob, multihead_parts[labels_arr, 1], ks=(1,))[0]
+    return out
+
+
 def main(args):
     random_seed(args.seed, jax.process_index())
     mesh = create_mesh()
@@ -113,13 +170,13 @@ def main(args):
             args.dataset, metadata=args.label_metadata or
             args.metadata_train)
         num_classes = len(labels)
+    if args.dataset == "ek100_cls":
+        multihead_parts = actions_to_parts(mapping)
     if args.use_vn_classifier:
         assert args.dataset == "ek100_cls"
-        a2p = actions_to_parts(mapping)
-        n_verb = int(a2p[:, 0].max()) + 1
-        n_noun = int(a2p[:, 1].max()) + 1
+        n_verb = int(multihead_parts[:, 0].max()) + 1
+        n_noun = int(multihead_parts[:, 1].max()) + 1
         num_classes_or_list = [n_verb, n_noun, num_classes]
-        multihead_parts = a2p
     else:
         num_classes_or_list = num_classes
 
@@ -231,6 +288,10 @@ def main(args):
                      config={**config, "num_classes": num_classes})
         if args.steps and total >= args.steps:
             break
+    if args.metadata_val and args.dataset != "synthetic":
+        metrics = validate(args, clf, state.params, mapping, num_classes,
+                           multihead_parts, model_name, labels)
+        print(json.dumps(metrics))
     print("=> done")
     return state
 

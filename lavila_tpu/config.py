@@ -138,6 +138,7 @@ def model_kwargs_from_config(cfg) -> dict:
         temperature_init=get("temperature_init", 0.07),
         timesformer_gated_xattn=get("timesformer_gated_xattn", False),
         gated_xattn=get("gated_xattn", False),
+        drop_path_rate=get("drop_path_rate", 0.0),
         remat=get("use_checkpoint", False),
     )
     if not str(get("model", "")).startswith("VCLM"):

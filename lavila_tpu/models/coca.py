@@ -19,12 +19,21 @@ from lavila_tpu.ops.basic import LayerNorm
 Dtype = Any
 
 
+def swiglu(x: jax.Array) -> jax.Array:
+    """SwiGLU gate (Shazeer 2020): split the last dim, silu(gate) * x
+    (reference coca.py:49-52)."""
+    a, gate = jnp.split(x, 2, axis=-1)
+    return jax.nn.silu(gate) * a
+
+
 class AttentionPooler(nn.Module):
     dim: int
     context_dim: Optional[int] = None
     dim_head: int = 64
     heads: int = 8
     norm_context: bool = False
+    parallel_ff: bool = False   # optional SwiGLU FF branch (reference :84-88)
+    ff_mult: int = 4
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -48,5 +57,11 @@ class AttentionPooler(nn.Module):
         sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
         attn = jax.nn.softmax(sim, axis=-1).astype(q.dtype)
         out = jnp.einsum("bhqk,bkd->bqhd", attn, v).reshape(B, Nq, inner)
-        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
-                        name="to_out")(out)
+        out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                       name="to_out")(out)
+        if self.parallel_ff:
+            ff = nn.Dense(self.ff_mult * self.dim * 2, use_bias=False,
+                          dtype=self.dtype, name="ff_in")(x)
+            out = out + nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                                 name="ff_out")(swiglu(ff))
+        return out

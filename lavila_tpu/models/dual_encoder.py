@@ -170,7 +170,10 @@ class VideoClassifier(nn.Module):
 
     @nn.compact
     def __call__(self, image: jax.Array, train: bool = False) -> jax.Array:
-        x = self.vision_model(image)
+        kwargs = {}
+        if getattr(self.vision_model, "drop_path_rate", 0.0) > 0:
+            kwargs["train"] = train
+        x = self.vision_model(image, **kwargs)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return nn.Dense(self.num_classes, dtype=self.dtype,
@@ -187,7 +190,10 @@ class VideoClassifierMultiHead(nn.Module):
 
     @nn.compact
     def __call__(self, image: jax.Array, train: bool = False) -> list:
-        x = self.vision_model(image)
+        kwargs = {}
+        if getattr(self.vision_model, "drop_path_rate", 0.0) > 0:
+            kwargs["train"] = train
+        x = self.vision_model(image, **kwargs)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return [

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from lavila_tpu.ops.attention import divided_attention
-from lavila_tpu.ops.basic import ACTIVATIONS, LayerNorm, Mlp, trunc_normal_init
+from lavila_tpu.ops.basic import (ACTIVATIONS, LayerNorm, Mlp, drop_path,
+                                  trunc_normal_init)
 
 Dtype = Any
 
@@ -76,10 +77,12 @@ class SpaceTimeBlock(nn.Module):
     qkv_bias: bool = True
     act: str = "gelu"
     is_tanh_gating: bool = False
+    drop_path_rate: float = 0.0   # stochastic depth (reference :165)
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, num_frames: int) -> jax.Array:
+    def __call__(self, x: jax.Array, num_frames: int,
+                 train: bool = False) -> jax.Array:
         time_out = DividedAttentionBlock(
             self.dim, self.num_heads, self.qkv_bias, zero_init=True,
             dtype=self.dtype, name="timeattn",
@@ -94,14 +97,21 @@ class SpaceTimeBlock(nn.Module):
             dtype=self.dtype, name="attn",
         )(LayerNorm(epsilon=1e-6, name="norm1")(time_residual), num_frames,
           "space")
+
+        def dp(y):
+            if self.drop_path_rate == 0.0 or not train:
+                return y
+            return drop_path(y, self.drop_path_rate, deterministic=False,
+                             rng=self.make_rng("drop_path"))
+
         # frozen-in-time: the spatial residual reconnects to the block input
         # (reference timesformer.py:191-193)
-        space_residual = x + space_out
+        space_residual = x + dp(space_out)
 
         mlp_out = Mlp(int(self.dim * self.mlp_ratio), act=self.act,
                       dtype=self.dtype, name="mlp")(
             LayerNorm(epsilon=1e-6, name="norm2")(space_residual))
-        return space_residual + mlp_out
+        return space_residual + dp(mlp_out)
 
 
 class SpaceTimeTransformer(nn.Module):
@@ -125,6 +135,7 @@ class SpaceTimeTransformer(nn.Module):
     ln_pre: bool = False
     act: str = "gelu"
     is_tanh_gating: bool = False
+    drop_path_rate: float = 0.0
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -133,7 +144,8 @@ class SpaceTimeTransformer(nn.Module):
         return (self.img_size // self.patch_size) ** 2
 
     @nn.compact
-    def __call__(self, x: jax.Array, cls_at_last: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, cls_at_last: bool = True,
+                 train: bool = False) -> jax.Array:
         B, T, H, W, C = x.shape
         assert T <= self.num_frames, (T, self.num_frames)
         D = self.embed_dim
@@ -168,15 +180,19 @@ class SpaceTimeTransformer(nn.Module):
 
         block_cls = SpaceTimeBlock
         if self.remat:
-            block_cls = nn.remat(SpaceTimeBlock, static_argnums=(2,))
+            block_cls = nn.remat(SpaceTimeBlock, static_argnums=(2, 3))
+        # stochastic depth decay rule: linear 0 → drop_path_rate
+        dprs = [self.drop_path_rate * i / max(self.depth - 1, 1)
+                for i in range(self.depth)]
         for i in range(self.depth):
             blk = block_cls(
                 dim=D, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias, act=self.act,
-                is_tanh_gating=self.is_tanh_gating, dtype=self.dtype,
+                is_tanh_gating=self.is_tanh_gating,
+                drop_path_rate=dprs[i], dtype=self.dtype,
                 name=f"blocks_{i}",
             )
-            x = blk(x, T) if not self.remat else blk(x, T)
+            x = blk(x, T, train)
 
         norm = LayerNorm(epsilon=1e-6, name="norm")
         if cls_at_last:

@@ -54,6 +54,7 @@ def build_model(name: str, **kwargs) -> nn.Module:
 
 def _timesformer(size: str, num_frames: int, img_size: int = 224,
                  gated_xattn: bool = False, remat: bool = False,
+                 drop_path_rate: float = 0.0,
                  dtype=jnp.float32) -> SpaceTimeTransformer:
     if size == "base":
         dims = dict(patch_size=16, embed_dim=768, depth=12, num_heads=12)
@@ -64,7 +65,7 @@ def _timesformer(size: str, num_frames: int, img_size: int = 224,
     return SpaceTimeTransformer(
         img_size=img_size, num_frames=num_frames, ln_pre=True,
         act="quick_gelu", is_tanh_gating=gated_xattn, remat=remat,
-        dtype=dtype, **dims)
+        drop_path_rate=drop_path_rate, dtype=dtype, **dims)
 
 
 def _clip_text(width: int, heads: int, embed_dim: int, remat: bool,
@@ -81,10 +82,12 @@ def _clip_timesformer(size: str, img_size: int, num_frames: int,
                       timesformer_gated_xattn: bool = False,
                       temperature_init: float = 0.07,
                       project_embed_dim: int = 256,
+                      drop_path_rate: float = 0.0,
                       remat: bool = False, dtype=jnp.float32,
                       **_unused) -> VideoCLIP:
     vision = _timesformer(size, num_frames, img_size,
-                          timesformer_gated_xattn, remat, dtype)
+                          timesformer_gated_xattn, remat, drop_path_rate,
+                          dtype)
     text_width = 512 if size == "base" else 768
     text_heads = 8 if size == "base" else 12
     return VideoCLIP(
@@ -157,10 +160,12 @@ def _clip_hf_timesformer(size: str, img_size: int, num_frames: int,
                          temperature_init: float = 0.07,
                          project_embed_dim: int = 256,
                          projection: str = "default",
+                         drop_path_rate: float = 0.0,
                          remat: bool = False, dtype=jnp.float32,
                          **_unused) -> VideoCLIPHF:
     vision = _timesformer(size, num_frames, img_size,
-                          timesformer_gated_xattn, remat, dtype)
+                          timesformer_gated_xattn, remat, drop_path_rate,
+                          dtype)
     return VideoCLIPHF(
         vision_model=vision,
         text_model=DistilBertModel(dtype=dtype),

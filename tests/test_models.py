@@ -122,3 +122,20 @@ def test_classifier_heads():
     params = multi.init(jax.random.key(0), x)
     outs = multi.apply(params, x)
     assert [o.shape for o in outs] == [(2, 7), (2, 5), (2, 3)]
+
+
+def test_drop_path_stochastic_depth():
+    m = tiny_timesformer(drop_path_rate=0.5)
+    x = jnp.ones((4, 4, 32, 32, 3))
+    params = m.init(jax.random.key(0), x)
+    # eval mode: deterministic, no rng needed
+    out_eval = m.apply(params, x)
+    out_eval2 = m.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(out_eval),
+                                  np.asarray(out_eval2))
+    # train mode: stochastic across rng keys
+    out_a = m.apply(params, x, train=True,
+                    rngs={"drop_path": jax.random.key(1)})
+    out_b = m.apply(params, x, train=True,
+                    rngs={"drop_path": jax.random.key(2)})
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
