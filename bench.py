@@ -101,5 +101,79 @@ def main():
     }))
 
 
+def narrator_bench(batch_size: int = 16, max_len: int = 77):
+    """Secondary benchmark: GPT-2 narrator decode throughput
+    (narrations/sec), cached scan decode vs the reference's
+    re-forward-the-whole-prefix strategy (reference narrator.py:118-119)
+    emulated for comparison."""
+    from lavila_tpu.models import build_model
+
+    model = build_model("VCLM_OPENAI_TIMESFORMER_BASE_GPT2",
+                        num_frames=4, gated_xattn=True, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.normal(size=(batch_size, 4, 224, 224, 3)),
+                         jnp.bfloat16)
+    text = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(jax.random.key(0), frames[:1], text)["params"]
+    variables = {"params": params}
+
+    tokens = jax.jit(lambda v, f: model.apply(
+        v, f, method="encode_image"))(variables, frames)
+    _ = float(tokens.astype(jnp.float32).sum())
+
+    gen = jax.jit(lambda v, t, key: model.apply(
+        v, t, rng=key, bos_id=50256, eos_id=50256,
+        max_text_length=max_len, temperature=0.7, top_p=0.95,
+        method="generate"))
+    ids, _ppl = gen(variables, tokens, jax.random.key(0))
+    _ = int(np.asarray(ids)[0, 0])
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        ids, _ppl = gen(variables, tokens, jax.random.key(i))
+    _ = int(np.asarray(ids)[0, 0])
+    cached = batch_size * reps / (time.perf_counter() - t0)
+
+    # reference-style decode: full prefix re-forward per step, no KV reuse
+    def reforward(v, t, key):
+        def step(carry, i):
+            seq, key = carry
+            logits, _ = model.text_decoder.apply(
+                {"params": v["params"]["text_decoder"]}, seq,
+                encoder_states=t)
+            idx = jnp.maximum(i, 0)
+            nxt = jax.random.categorical(
+                jax.random.fold_in(key, i),
+                logits[jnp.arange(seq.shape[0]), idx].astype(jnp.float32)
+                / 0.7)
+            seq = jax.lax.dynamic_update_slice(
+                seq, nxt[:, None].astype(seq.dtype), (0, i + 1))
+            return (seq, key), None
+        seq0 = jnp.zeros((t.shape[0], max_len), jnp.int32)
+        (seq, _), _ = jax.lax.scan(step, (seq0, key),
+                                   jnp.arange(max_len - 1))
+        return seq
+    ref = jax.jit(reforward)
+    seq = ref(variables, tokens, jax.random.key(0))
+    _ = int(np.asarray(seq)[0, 0])
+    t0 = time.perf_counter()
+    seq = ref(variables, tokens, jax.random.key(1))
+    _ = int(np.asarray(seq)[0, 0])
+    reforward_rate = batch_size / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        "metric": "narrator_decode_narrations_per_sec",
+        "value": round(cached, 2),
+        "unit": "narrations/sec (77 tokens, TSF-B+GPT2)",
+        "vs_baseline": round(cached / max(reforward_rate, 1e-9), 2),
+        "note": "vs_baseline = speedup over reference-style full-prefix "
+                "re-forward decode",
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--narrator" in sys.argv:
+        narrator_bench()
+    else:
+        main()

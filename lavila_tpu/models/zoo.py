@@ -295,7 +295,8 @@ def VCLM_OPENAI_VITL14_336PX_GPT2_XL(gated_xattn=False, **kw):
 def VCLM_OPENAI_TIMESFORMER_BASE_GPT2(gated_xattn=False, num_frames=4,
                                       timesformer_gated_xattn=False, **kw):
     vision = _timesformer("base", num_frames, 224, timesformer_gated_xattn,
-                          kw.get("remat", False), kw.get("dtype", jnp.float32))
+                          remat=kw.get("remat", False),
+                          dtype=kw.get("dtype", jnp.float32))
     return _vclm(vision, 768, "gpt2", 1, gated_xattn, **kw)
 
 
@@ -303,7 +304,8 @@ def VCLM_OPENAI_TIMESFORMER_BASE_GPT2(gated_xattn=False, num_frames=4,
 def VCLM_OPENAI_TIMESFORMER_BASE_GPT2_XL(gated_xattn=False, num_frames=4,
                                          timesformer_gated_xattn=False, **kw):
     vision = _timesformer("base", num_frames, 224, timesformer_gated_xattn,
-                          kw.get("remat", False), kw.get("dtype", jnp.float32))
+                          remat=kw.get("remat", False),
+                          dtype=kw.get("dtype", jnp.float32))
     return _vclm(vision, 768, "gpt2-xl", 2, gated_xattn, **kw)
 
 
@@ -311,7 +313,8 @@ def VCLM_OPENAI_TIMESFORMER_BASE_GPT2_XL(gated_xattn=False, num_frames=4,
 def VCLM_OPENAI_TIMESFORMER_LARGE_GPT2(gated_xattn=False, num_frames=4,
                                        timesformer_gated_xattn=False, **kw):
     vision = _timesformer("large", num_frames, 224, timesformer_gated_xattn,
-                          kw.get("remat", False), kw.get("dtype", jnp.float32))
+                          remat=kw.get("remat", False),
+                          dtype=kw.get("dtype", jnp.float32))
     return _vclm(vision, 1024, "gpt2", 1, gated_xattn, **kw)
 
 
@@ -320,7 +323,8 @@ def VCLM_OPENAI_TIMESFORMER_LARGE_GPT2_XL(gated_xattn=False, num_frames=4,
                                           timesformer_gated_xattn=False,
                                           **kw):
     vision = _timesformer("large", num_frames, 224, timesformer_gated_xattn,
-                          kw.get("remat", False), kw.get("dtype", jnp.float32))
+                          remat=kw.get("remat", False),
+                          dtype=kw.get("dtype", jnp.float32))
     return _vclm(vision, 1024, "gpt2-xl", 2, gated_xattn, **kw)
 
 
@@ -329,7 +333,8 @@ def VCLM_OPENAI_TIMESFORMER_LARGE_336PX_GPT2_XL(
         gated_xattn=False, num_frames=4, timesformer_gated_xattn=False,
         **kw):
     vision = _timesformer("large", num_frames, 336, timesformer_gated_xattn,
-                          kw.get("remat", False), kw.get("dtype", jnp.float32))
+                          remat=kw.get("remat", False),
+                          dtype=kw.get("dtype", jnp.float32))
     return _vclm(vision, 1024, "gpt2-xl", 3, gated_xattn, **kw)
 
 
