@@ -167,7 +167,7 @@ def build_label_embeddings(model, variables, tokenizer, labels,
                              jnp.asarray(toks[1]))
         else:
             emb = enc_t(variables, jnp.asarray(toks))
-        emb = np.asarray(emb, np.float32)
+        emb = np.array(emb, np.float32)
         emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-8)
         out.append(emb.mean(axis=0))
     out = np.stack(out)
@@ -203,7 +203,7 @@ def eval_classification(args, model, variables, tokenizer, model_name,
         if frames.ndim == 6:  # (B, views, T, H, W, C): crops and/or clips
             views = frames.shape[1]
             frames = frames.reshape((-1,) + frames.shape[2:])
-        emb = np.asarray(enc_i(variables, jnp.asarray(frames)), np.float32)
+        emb = np.array(enc_i(variables, jnp.asarray(frames)), np.float32)
         emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-8)
         logits = emb @ class_emb.T
         if views > 1:
@@ -252,14 +252,14 @@ def eval_mcq(args, model, variables, tokenizer, model_name):
         B, O = batch["frames_options"].shape[:2]
         frames = jnp.asarray(batch["frames_options"].reshape(
             (-1,) + batch["frames_options"].shape[2:]))
-        vemb = np.asarray(enc_i(variables, frames), np.float32)
+        vemb = np.array(enc_i(variables, frames), np.float32)
         vemb /= np.maximum(np.linalg.norm(vemb, axis=1, keepdims=True),
                            1e-8)
         if has_mask:
-            qemb = np.asarray(enc_t(variables, jnp.asarray(batch["query"]),
-                                    jnp.asarray(batch["query_mask"])))
+            qemb = np.array(enc_t(variables, jnp.asarray(batch["query"]),
+                                   jnp.asarray(batch["query_mask"])))
         else:
-            qemb = np.asarray(enc_t(variables, jnp.asarray(batch["query"])))
+            qemb = np.array(enc_t(variables, jnp.asarray(batch["query"])))
         qemb = qemb / np.maximum(
             np.linalg.norm(qemb, axis=1, keepdims=True), 1e-8)
         sim = np.einsum("bd,bod->bo", qemb, vemb.reshape(B, O, -1))

@@ -1,0 +1,119 @@
+"""End-to-end eval_zeroshot CLI on synthetic fixtures (MINI model)."""
+
+import json
+import os
+import os.path as osp
+import pickle
+
+import numpy as np
+import pytest
+
+from lavila_tpu.data.video import encode_test_video
+
+
+@pytest.fixture()
+def ek100_fixture(tmp_path):
+    root = tmp_path / "vids"
+    (root / "P01").mkdir(parents=True)
+    encode_test_video(str(root / "P01" / "P01_01.MP4"), 64, 64, 30, 120)
+    header = ("narration_id,participant_id,video_id,narration_timestamp,"
+              "start_timestamp,stop_timestamp,start_frame,stop_frame,"
+              "narration,verb,verb_class,noun,noun_class,all_nouns,"
+              "all_noun_classes\n")
+    rows = [
+        f"P01_{i},P01,P01_01,00:00:00.0,00:00:0{i}.0,00:00:0{i + 2}.0,"
+        f"0,60,narration {i},verb,0,noun,{i},[],[]\n"
+        for i in range(3)
+    ]
+    meta = tmp_path / "EPIC_100_retrieval_test.csv"
+    meta.write_text(header + "".join(rows))
+    sent = tmp_path / "EPIC_100_retrieval_test_sentence.csv"
+    sent.write_text("id,narration\n" + "".join(
+        f"{i},sentence {i}\n" for i in range(3)))
+    rel_dir = tmp_path / "relevancy"
+    rel_dir.mkdir()
+    rel = np.eye(3, dtype=np.float32)
+    with open(rel_dir / "caption_relevancy_EPIC_100_retrieval_test.pkl",
+              "wb") as f:
+        pickle.dump(rel, f)
+    return str(root), str(meta)
+
+
+def test_eval_ek100_mir_cli(ek100_fixture):
+    root, meta = ek100_fixture
+    from cli.eval_zeroshot import get_args_parser, main
+    args = get_args_parser().parse_args([
+        "--dataset", "ek100_mir", "--root", root, "--metadata", meta,
+        "--model", "CLIP_OPENAI_TIMESFORMER_MINI", "--clip-length", "4",
+        "--batch-size", "2", "--workers", "2"])
+    out = main(args)
+    for k in ("mAP_avg", "nDCG_avg"):
+        assert 0.0 <= out[k] <= 1.0
+
+
+@pytest.fixture()
+def mcq_fixture(tmp_path):
+    root = tmp_path / "vids"
+    vdir = root / "clip01.mp4"
+    vdir.mkdir(parents=True)
+    encode_test_video(str(vdir / "0.mp4"), 64, 64, 30, 150)
+    items = {}
+    for i in range(2):
+        items[str(i)] = {
+            "query": {"clip_text": f"query text {i}"},
+            "choices": {
+                str(j): {"video_uid": "clip01", "clip_start": 0.2 * j,
+                         "clip_end": 0.2 * j + 2.0,
+                         "clip_text": f"option {j}"}
+                for j in range(3)
+            },
+            "answer": i % 3,
+            "types": 1 + (i % 2),
+        }
+    meta = tmp_path / "mcq.json"
+    meta.write_text(json.dumps(items))
+    return str(root), str(meta)
+
+
+def test_eval_mcq_cli(mcq_fixture):
+    root, meta = mcq_fixture
+    from cli.eval_zeroshot import get_args_parser, main
+    args = get_args_parser().parse_args([
+        "--dataset", "ego4d_mcq", "--root", root, "--metadata", meta,
+        "--model", "CLIP_OPENAI_TIMESFORMER_MINI", "--clip-length", "4",
+        "--batch-size", "2", "--workers", "2"])
+    out = main(args)
+    assert "Intra-video" in out and "Inter-video" in out
+
+
+@pytest.fixture()
+def egtea_fixture(tmp_path):
+    root = tmp_path / "vids"
+    (root / "P01-R01-VID").mkdir(parents=True)
+    encode_test_video(str(root / "P01-R01-VID" / "P01-R01-VID-CLIP.mp4"),
+                      64, 64, 30, 80)
+    actions = tmp_path / "action_idx.txt"
+    actions.write_text("Cut_tomato 1\nPour_water 2\n")
+    split = tmp_path / "test_split1.txt"
+    split.write_text("P01-R01-VID-CLIP 1 x\n")
+    return str(root), str(split), str(actions)
+
+
+def test_eval_egtea_cli(egtea_fixture):
+    root, split, actions = egtea_fixture
+    from cli.eval_zeroshot import get_args_parser, main
+    args = get_args_parser().parse_args([
+        "--dataset", "egtea", "--root", root, "--metadata", split,
+        "--metadata-val", split,
+        "--model", "CLIP_OPENAI_TIMESFORMER_MINI", "--clip-length", "4",
+        "--clip-stride", "2", "--batch-size", "2", "--workers", "2"])
+    # label metadata path: the CLI reads labels from action_idx.txt
+    args.metadata = split
+    import cli.eval_zeroshot as ez
+    from lavila_tpu.data.label_maps import generate_label_map
+    labels, mapping = generate_label_map("egtea", metadata=actions)
+    model, variables, tokenizer, model_name = \
+        ez.load_model_from_checkpoint(args)
+    out = ez.eval_classification(args, model, variables, tokenizer,
+                                 model_name, labels, mapping)
+    assert "mean_class_acc" in out
