@@ -154,6 +154,18 @@ def main(cfg: PretrainConfig):
             donate_argnums=(0,))
         metric_names = ["loss", "clip_loss", "clip_acc"]
 
+    def run_probe():
+        """Zero-shot EK-100 MIR probe (reference main_pretrain.py:359-379
+        per-epoch and --eval-in-middle-freq mid-epoch)."""
+        from types import SimpleNamespace
+        from cli.eval_zeroshot import eval_ek100_mir
+        probe_args = SimpleNamespace(
+            root=cfg.val_root or cfg.root, metadata=cfg.val_metadata,
+            clip_length=cfg.clip_length, clip_stride=cfg.clip_stride,
+            batch_size=cfg.batch_size, workers=cfg.workers)
+        return eval_ek100_mir(probe_args, model, {"params": state.params},
+                              tokenizer, cfg.model)
+
     os.makedirs(cfg.output_dir, exist_ok=True)
     wandb_run = None
     if cfg.wandb and jax.process_index() == 0:
@@ -205,22 +217,16 @@ def main(cfg: PretrainConfig):
             else:
                 batch_time.update(timer.lap())
             total_steps += 1
+            if (cfg.eval_in_middle_freq > 0 and it > 0
+                    and it % cfg.eval_in_middle_freq == 0
+                    and cfg.val_metadata and not is_vclm):
+                run_probe()
             if cfg.steps is not None and total_steps >= cfg.steps:
                 break
 
         probe_metrics = {}
         if cfg.val_metadata and not is_vclm:
-            # in-training zero-shot EK-100 MIR probe
-            # (reference main_pretrain.py:359-379)
-            from types import SimpleNamespace
-            from cli.eval_zeroshot import eval_ek100_mir
-            probe_args = SimpleNamespace(
-                root=cfg.val_root or cfg.root, metadata=cfg.val_metadata,
-                clip_length=cfg.clip_length, clip_stride=cfg.clip_stride,
-                batch_size=cfg.batch_size, workers=cfg.workers)
-            probe_metrics = eval_ek100_mir(
-                probe_args, model, {"params": state.params}, tokenizer,
-                cfg.model)
+            probe_metrics = run_probe()
         if jax.process_index() == 0:
             tree = {"params": jax.device_get(state.params),
                     "opt_state": jax.device_get(state.opt_state),

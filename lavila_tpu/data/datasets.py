@@ -84,12 +84,13 @@ def load_ek100_mir_relevancy(metadata: str):
         reader = csv.reader(f)
         next(reader)
         sentences = [row[1] for row in reader]
-    if "train" in metadata:
+    base = osp.basename(metadata)
+    if "train" in base:
         rel_name = "caption_relevancy_EPIC_100_retrieval_train.pkl"
-    elif "test" in metadata:
+    elif "test" in base:
         rel_name = "caption_relevancy_EPIC_100_retrieval_test.pkl"
     else:
-        raise ValueError(f"{metadata} must contain 'train' or 'test'")
+        raise ValueError(f"{base} must contain 'train' or 'test'")
     with open(osp.join(osp.dirname(metadata), "relevancy", rel_name),
               "rb") as f:
         rel = pickle.load(f)

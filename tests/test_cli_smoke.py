@@ -63,3 +63,41 @@ def _write_gpt2_fixture(d: pathlib.Path):
     vocab["<|endoftext|>"] = len(vocab)
     (g / "vocab.json").write_text(json.dumps(vocab))
     (g / "merges.txt").write_text("#version: 0.2\n")
+
+
+def test_pretrain_with_ek100_probe(tmp_path):
+    """Per-epoch zero-shot probe wired into pretraining."""
+    import numpy as np
+    import pickle
+    from lavila_tpu.data.video import encode_test_video
+    root = tmp_path / "vids"
+    (root / "P01").mkdir(parents=True)
+    encode_test_video(str(root / "P01" / "P01_01.MP4"), 64, 64, 30, 120)
+    header = ("narration_id,participant_id,video_id,narration_timestamp,"
+              "start_timestamp,stop_timestamp,start_frame,stop_frame,"
+              "narration,verb,verb_class,noun,noun_class,all_nouns,"
+              "all_noun_classes\n")
+    rows = [f"P01_{i},P01,P01_01,00:00:00.0,00:00:0{i}.0,00:00:0{i + 2}.0,"
+            f"0,60,narr {i},v,0,n,{i},[],[]\n" for i in range(2)]
+    meta = tmp_path / "EPIC_100_retrieval_test.csv"
+    meta.write_text(header + "".join(rows))
+    (tmp_path / "EPIC_100_retrieval_test_sentence.csv").write_text(
+        "id,narration\n0,sent 0\n1,sent 1\n")
+    (tmp_path / "relevancy").mkdir()
+    with open(tmp_path / "relevancy" /
+              "caption_relevancy_EPIC_100_retrieval_test.pkl", "wb") as f:
+        pickle.dump(np.eye(2, dtype=np.float32), f)
+
+    from cli.main_pretrain import main
+    from lavila_tpu.config import PretrainConfig, parse_config
+    cfg = parse_config(PretrainConfig, [
+        "--dataset", "synthetic", "--model", "CLIP_OPENAI_TIMESFORMER_MINI",
+        "--steps", "1", "--batch-size", "8", "--epochs", "1",
+        "--clip-length", "4", "--output-dir", str(tmp_path / "run"),
+        "--workers", "2", "--disable-amp",
+        "--val-metadata", str(meta), "--val-root", str(root)])
+    main(cfg)
+    import json
+    log = (tmp_path / "run" / "log.txt").read_text().strip().splitlines()
+    rec = json.loads(log[-1])
+    assert "mAP_avg" in rec  # probe metrics landed in the training log
