@@ -137,6 +137,10 @@ class SpaceTimeTransformer(nn.Module):
     is_tanh_gating: bool = False
     drop_path_rate: float = 0.0
     remat: bool = False
+    # remat policy: 'full' recomputes everything; 'dots' saves matmul
+    # outputs and recomputes elementwise (cheap memory relief that keeps
+    # the MXU work single-pass)
+    remat_policy: str = "full"
     dtype: Dtype = jnp.float32
 
     @property
@@ -180,7 +184,11 @@ class SpaceTimeTransformer(nn.Module):
 
         block_cls = SpaceTimeBlock
         if self.remat:
-            block_cls = nn.remat(SpaceTimeBlock, static_argnums=(2, 3))
+            policy = None
+            if self.remat_policy == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            block_cls = nn.remat(SpaceTimeBlock, static_argnums=(2, 3),
+                                 policy=policy)
         # stochastic depth decay rule: linear 0 → drop_path_rate
         dprs = [self.drop_path_rate * i / max(self.depth - 1, 1)
                 for i in range(self.depth)]

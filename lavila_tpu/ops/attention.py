@@ -26,15 +26,16 @@ import os
 import jax
 import jax.numpy as jnp
 
-# 'xla' (default) or 'pallas' — the fused flash kernel
-# (lavila_tpu/ops/pallas/flash_attention.py). Set LAVILA_ATTENTION=pallas
-# or call set_attention_backend().
+# 'xla' (default), 'pallas' (fused flash kernel for the spatial phase —
+# the measured win), or 'pallas_all' (+ the fused temporal kernel, which
+# currently matches but does not beat the XLA path on v5e). Set
+# LAVILA_ATTENTION or call set_attention_backend().
 _BACKEND = os.environ.get("LAVILA_ATTENTION", "xla")
 
 
 def set_attention_backend(name: str) -> None:
     global _BACKEND
-    assert name in ("xla", "pallas"), name
+    assert name in ("xla", "pallas", "pallas_all"), name
     _BACKEND = name
 
 
@@ -95,6 +96,18 @@ def divided_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     cls_probs = jax.nn.softmax(cls_scores, axis=-1).astype(q.dtype)
     cls_out = jnp.einsum("bhqk,bkhd->bqhd", cls_probs, v)     # (B, 1, H, d)
 
+    if _BACKEND == "pallas_all" and axis == "time" and F <= 16:
+        # fused temporal kernel: no HBM relayouts (see ops/pallas/
+        # time_attention.py); CLS query handled above
+        from lavila_tpu.ops.pallas.time_attention import time_attention
+        patches = time_attention(
+            q[:, 1:].reshape(B, F, N, H, d),
+            k[:, 1:].reshape(B, F, N, H, d),
+            v[:, 1:].reshape(B, F, N, H, d),
+            k[:, 0], v[:, 0], F, scale)
+        patches = patches.reshape(B, F * N, H, d)
+        return jnp.concatenate([cls_out, patches], axis=1)
+
     # --- patch tokens: grouped attention with CLS k/v prepended ----------
     def group(t):
         t = t.reshape(B, F, N, H, d)
@@ -113,7 +126,7 @@ def divided_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     kg = jnp.concatenate([cls_k, kg], axis=2)  # (B, G, 1+S, H, d)
     vg = jnp.concatenate([cls_v, vg], axis=2)
 
-    if _BACKEND == "pallas" and axis == "space" and S >= 64:
+    if _BACKEND in ("pallas", "pallas_all") and axis == "space" and S >= 64:
         from lavila_tpu.ops.pallas.flash_attention import fused_attention
         out = fused_attention(
             qg.reshape(B * G, S, H, d).transpose(0, 2, 1, 3),

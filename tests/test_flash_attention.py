@@ -99,3 +99,50 @@ def test_fused_attention_causal_grads():
     np.testing.assert_allclose(
         np.asarray(jax.grad(loss_fused)(q)),
         np.asarray(jax.grad(loss_ref)(q)), atol=5e-4, rtol=1e-3)
+
+
+def test_time_attention_kernel_matches_reference():
+    """Fused temporal kernel vs the grouped einsum path (interpret)."""
+    from lavila_tpu.ops.pallas.time_attention import time_attention
+    from lavila_tpu.ops.attention import divided_attention
+    rng = np.random.default_rng(5)
+    B, F, N, H, d = 2, 4, 70, 3, 16
+    L = 1 + F * N
+    q = jnp.asarray(rng.normal(size=(B, L, H, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, L, H, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, H, d)), jnp.float32)
+    want = divided_attention(q, k, v, F, "time")[:, 1:]
+    got = time_attention(
+        q[:, 1:].reshape(B, F, N, H, d), k[:, 1:].reshape(B, F, N, H, d),
+        v[:, 1:].reshape(B, F, N, H, d),
+        k[:, 0], v[:, 0], F, None, True).reshape(B, F * N, H, d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_time_attention_kernel_grads():
+    from lavila_tpu.ops.pallas.time_attention import time_attention
+    from lavila_tpu.ops.attention import divided_attention
+    rng = np.random.default_rng(6)
+    B, F, N, H, d = 1, 3, 40, 2, 8
+    L = 1 + F * N
+    q = jnp.asarray(rng.normal(size=(B, L, H, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, L, H, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, H, d)), jnp.float32)
+
+    def loss_kernel(q, k, v):
+        out = time_attention(
+            q[:, 1:].reshape(B, F, N, H, d),
+            k[:, 1:].reshape(B, F, N, H, d),
+            v[:, 1:].reshape(B, F, N, H, d),
+            k[:, 0], v[:, 0], F, None, True)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(divided_attention(q, k, v, F, "time")[:, 1:] ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gk, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3, err_msg=name)
