@@ -82,10 +82,8 @@ def load_model_from_checkpoint(args):
                 ".pth"):
             from lavila_tpu.models import import_torch as imp
             sd = imp.load_torch_state_dict(args.checkpoint)
-            depth = 24 if "LARGE" in model_name else 12
             params = imp.import_video_clip(
-                sd, depth=depth, text_layers=12,
-                num_frames=config.get("clip_length", args.clip_length))
+                sd, num_frames=config.get("clip_length", args.clip_length))
         else:
             mgr = CheckpointManager(osp.dirname(args.checkpoint) or ".")
             tree, _ = mgr.restore({"params": params}, tag=args.checkpoint)

@@ -324,12 +324,29 @@ def import_distilbert(sd: Mapping[str, np.ndarray], n_layers: int = 6,
 # full dual-encoder / narrator checkpoints (lavila naming)
 # --------------------------------------------------------------------------
 
-def import_video_clip(sd: Mapping[str, np.ndarray], depth: int,
-                      text_layers: int, num_frames: Optional[int] = None,
+def count_layers(sd: Mapping[str, np.ndarray], pattern: str) -> int:
+    """Number of distinct layer indices for keys like '<pattern>{i}.'."""
+    idx = set()
+    for k in sd:
+        if k.startswith(pattern):
+            rest = k[len(pattern):]
+            num = rest.split(".")[0]
+            if num.isdigit():
+                idx.add(int(num))
+    return len(idx)
+
+
+def import_video_clip(sd: Mapping[str, np.ndarray],
+                      depth: Optional[int] = None,
+                      text_layers: Optional[int] = None,
+                      num_frames: Optional[int] = None,
                       load_temporal_fix: str = "bilinear") -> dict:
     """Released dual-encoder checkpoint (CLIP text tower variant) →
-    VideoCLIP params."""
+    VideoCLIP params. Depths are auto-detected from the state dict when
+    not given."""
     sd = dict(sd)
+    depth = depth or count_layers(sd, "visual.blocks.")
+    text_layers = text_layers or count_layers(sd, "transformer.resblocks.")
     if num_frames is not None and "visual.temporal_embed" in sd:
         sd["visual.temporal_embed"] = inflate_temporal_embed(
             sd["visual.temporal_embed"], num_frames, load_temporal_fix)

@@ -117,3 +117,29 @@ def test_eval_egtea_cli(egtea_fixture):
     out = ez.eval_classification(args, model, variables, tokenizer,
                                  model_name, labels, mapping)
     assert "mean_class_acc" in out
+
+
+def test_eval_cli_loads_released_style_torch_checkpoint(ek100_fixture,
+                                                        tmp_path):
+    """--checkpoint foo.pt: a torch-layout dual-encoder checkpoint (MINI
+    geometry) loads through the importer and drives the eval CLI."""
+    import torch
+    from tests.test_full_checkpoint_import import (torch_clip_text_sd,
+                                                   torch_timesformer_sd)
+    # MINI geometry: img 64/patch16 -> pos_embed 17; depth 2; text w64/l2
+    sd = torch_timesformer_sd("visual.", depth=2, D=64, P=16, IMG=64, F=4)
+    sd.update(torch_clip_text_sd(layers=2, W=64, V=49408, ctx=77, E=256))
+    sd["image_projection"] = np.zeros((64, 256), np.float32)
+    ckpt_path = tmp_path / "released.pt"
+    torch.save({"state_dict": {k: torch.tensor(v) for k, v in sd.items()},
+                "epoch": 0}, str(ckpt_path))
+
+    root, meta = ek100_fixture
+    from cli.eval_zeroshot import get_args_parser, main
+    args = get_args_parser().parse_args([
+        "--dataset", "ek100_mir", "--root", root, "--metadata", meta,
+        "--model", "CLIP_OPENAI_TIMESFORMER_MINI", "--clip-length", "4",
+        "--checkpoint", str(ckpt_path), "--batch-size", "2",
+        "--workers", "2"])
+    out = main(args)
+    assert np.isfinite(out["mAP_avg"])
