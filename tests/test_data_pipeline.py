@@ -163,3 +163,40 @@ def test_sharded_sampler_disjoint_and_complete():
     assert list(s0) == list(ShardedSampler(100, 0, 4, True, seed=1))
     s0.set_epoch(1)
     assert list(s0) != list(ShardedSampler(100, 0, 4, True, seed=1))
+
+
+def test_charades_ego_trimmed_dataset(tmp_path):
+    """charades_ego_trimmed: pkl of (vid, t_start, t_end, narration) over
+    single-file (chunk_len=-1, variable fps) videos."""
+    from lavila_tpu.data.datasets import DatasetConfig, VideoCaptionDataset
+    from lavila_tpu.data.video import encode_test_video
+    encode_test_video(str(tmp_path / "clipA.mp4"), 64, 48, 24, 72)
+    meta = tmp_path / "trimmed.pkl"
+    with open(meta, "wb") as f:
+        pickle.dump([("clipA", 0.2, 2.5, "someone opens a door")], f)
+    cfg = DatasetConfig(dataset="charades_ego_trimmed", root=str(tmp_path),
+                        metadata=str(meta), clip_length=4)
+    ds = VideoCaptionDataset(cfg, transform=T.TrainTransform(32),
+                             tokenizer=ClipBpeTokenizer(), seed=0)
+    item = ds[0]
+    assert item["frames"].shape == (4, 32, 32, 3)
+    assert item["text"][0] == 49406
+
+
+def test_egtea_dataset_with_stride(tmp_path):
+    from lavila_tpu.data.datasets import DatasetConfig, VideoClassyDataset
+    from lavila_tpu.data.video import encode_test_video
+    (tmp_path / "P01-R01-V").mkdir()
+    encode_test_video(str(tmp_path / "P01-R01-V" / "P01-R01-V-C.mp4"),
+                      64, 48, 30, 50)
+    (tmp_path / "action_idx.txt").write_text("Open_door 1\n")
+    (tmp_path / "split.txt").write_text("P01-R01-V-C 1\n")
+    cfg = DatasetConfig(dataset="egtea", root=str(tmp_path),
+                        metadata=str(tmp_path / "split.txt"),
+                        clip_length=8, clip_stride=2)
+    ds = VideoClassyDataset(cfg, transform=T.EvalTransform(32),
+                            label_mapping={"open door": 0},
+                            is_training=False)
+    item = ds[0]
+    assert item["frames"].shape == (8, 32, 32, 3)
+    assert int(item["label"]) == 0
