@@ -31,30 +31,41 @@ def normalization_for_model(model_name: str):
     return IMAGENET_MEAN, IMAGENET_STD
 
 
-def _resize_frame(frame: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Bilinear resize (align_corners=False), (H, W, C) float32."""
-    h, w = frame.shape[:2]
-    if (h, w) == (out_h, out_w):
-        return frame
-    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
-    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
-    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
-    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
-    y1 = np.clip(y0 + 1, 0, h - 1)
-    x1 = np.clip(x0 + 1, 0, w - 1)
-    wy = np.clip(ys - y0, 0.0, 1.0).astype(np.float32)[:, None, None]
-    wx = np.clip(xs - x0, 0.0, 1.0).astype(np.float32)[None, :, None]
-    a = frame[y0][:, x0]
-    b = frame[y0][:, x1]
-    c = frame[y1][:, x0]
-    d = frame[y1][:, x1]
-    top = a * (1 - wx) + b * wx
-    bot = c * (1 - wx) + d * wx
-    return top * (1 - wy) + bot * wy
+_RESIZE_W_CACHE: dict = {}
+
+
+def _resize_weights(src: int, dst: int) -> np.ndarray:
+    """(dst, src) sparse-bilinear interpolation matrix
+    (align_corners=False)."""
+    key = (src, dst)
+    w = _RESIZE_W_CACHE.get(key)
+    if w is None:
+        pos = (np.arange(dst) + 0.5) * (src / dst) - 0.5
+        lo = np.clip(np.floor(pos).astype(np.int64), 0, src - 1)
+        hi = np.clip(lo + 1, 0, src - 1)
+        frac = np.clip(pos - lo, 0.0, 1.0).astype(np.float32)
+        w = np.zeros((dst, src), np.float32)
+        w[np.arange(dst), lo] += 1.0 - frac
+        w[np.arange(dst), hi] += frac
+        _RESIZE_W_CACHE[key] = w
+    return w
 
 
 def resize(clip: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    return np.stack([_resize_frame(f, out_h, out_w) for f in clip])
+    """Separable bilinear resize as two BLAS matmuls (align_corners=False).
+    clip (T, H, W, C) float32 → (T, out_h, out_w, C)."""
+    t, h, w, c = clip.shape
+    if (h, w) == (out_h, out_w):
+        return clip
+    wy = _resize_weights(h, out_h)           # (out_h, h)
+    wx = _resize_weights(w, out_w)           # (out_w, w)
+    x = clip.astype(np.float32, copy=False)
+    # rows: (T*?): fold (w c) → one GEMM per clip
+    x = np.matmul(wy, x.reshape(t, h, w * c))          # (t, out_h, w*c)
+    x = x.reshape(t * out_h, w, c).transpose(0, 2, 1)  # (t*out_h, c, w)
+    x = np.matmul(x.reshape(t * out_h * c, w), wx.T)   # (t*out_h*c, out_w)
+    x = x.reshape(t, out_h, c, out_w).transpose(0, 1, 3, 2)
+    return np.ascontiguousarray(x)
 
 
 def resize_short_side(clip: np.ndarray, size: int) -> np.ndarray:

@@ -17,6 +17,8 @@ import functools
 import os
 import os.path as osp
 import subprocess
+import threading
+from collections import OrderedDict
 from typing import Optional, Sequence
 
 import numpy as np
@@ -131,6 +133,35 @@ def _probe_fps(path: str) -> float:
         r.close()
 
 
+class _ReaderPool(threading.local):
+    """Thread-local LRU of open readers: container open + stream probing
+    costs ~5-15 ms per file, which dominates short-clip loading when every
+    sample re-opens its chunk. Handles are NOT shared across threads (the
+    decoder is stateful per handle)."""
+
+    def __init__(self, capacity: int = 16):
+        self.capacity = capacity
+        self.readers: "OrderedDict[str, VideoReader]" = OrderedDict()
+
+    def get(self, path: str) -> "VideoReader":
+        r = self.readers.pop(path, None)
+        if r is None:
+            r = VideoReader(path)
+        self.readers[path] = r
+        while len(self.readers) > self.capacity:
+            _, old = self.readers.popitem(last=False)
+            old.close()
+        return r
+
+
+_pool = _ReaderPool()
+
+
+def open_reader(path: str) -> "VideoReader":
+    """Pooled (thread-local) reader — do NOT close; the pool owns it."""
+    return _pool.get(path)
+
+
 def video_loader(root: str, vid: str, second: float,
                  end_second: Optional[float] = None, *, chunk_len: int = 300,
                  fps: float = 30, clip_length: int = 32,
@@ -144,7 +175,7 @@ def video_loader(root: str, vid: str, second: float,
     same contract as the reference loader (reference datasets.py:25-75).
     """
     if chunk_len == -1:
-        vr = VideoReader(osp.join(root, f"{vid}.mp4"))
+        vr = open_reader(osp.join(root, f"{vid}.mp4"))
         second_offset = second
         duration = len(vr) / max(vr.fps, 1e-6)
         end_second = duration if end_second is None else min(end_second,
@@ -154,7 +185,7 @@ def video_loader(root: str, vid: str, second: float,
     else:
         chunk_start = int(second) // chunk_len * chunk_len
         second_offset = second - chunk_start
-        vr = VideoReader(osp.join(root, f"{vid}.mp4", f"{chunk_start}.mp4"))
+        vr = open_reader(osp.join(root, f"{vid}.mp4", f"{chunk_start}.mp4"))
     if fps == -1:
         fps = vr.fps
 
@@ -177,12 +208,11 @@ def video_loader(root: str, vid: str, second: float,
             part1 = ids[ids < n]
             frames1 = vr.get_batch(part1) if len(part1) else None
             try:
-                vr2 = VideoReader(osp.join(root, f"{vid}.mp4",
-                                           f"{chunk_start + chunk_len}.mp4"))
+                vr2 = open_reader(osp.join(
+                    root, f"{vid}.mp4", f"{chunk_start + chunk_len}.mp4"))
                 part2 = ids[ids >= n]
                 part2 = np.minimum(part2 % n, len(vr2) - 1)
                 frames2 = vr2.get_batch(part2)
-                vr2.close()
                 frames = (np.concatenate([frames1, frames2])
                           if frames1 is not None else frames2)
             except IOError:
@@ -192,8 +222,6 @@ def video_loader(root: str, vid: str, second: float,
                 frames = vr.get_batch(ids)
     except IOError:
         frames = np.zeros((clip_length, *vr.shape, 3), np.uint8)
-    finally:
-        vr.close()
     return frames.astype(np.float32)
 
 
@@ -203,11 +231,10 @@ def video_loader_by_frames(root: str, vid: str,
     decode errors fall back to zero frames
     (reference datasets.py:93-102)."""
     try:
-        vr = VideoReader(osp.join(root, vid))
+        vr = open_reader(osp.join(root, vid))
         ids = np.clip(np.asarray(frame_ids, np.int64), 0,
                       max(len(vr) - 1, 0))
         frames = vr.get_batch(ids)
-        vr.close()
         return frames.astype(np.float32)
     except IOError as e:
         print(f"video decode error ({e}); zero-filling: {vid}")

@@ -41,6 +41,11 @@ struct Reader {
   int64_t n_frames = 0;
   int width = 0, height = 0;
   int sws_w = 0, sws_h = 0;
+  // aligned scale target: sws_scale may write past unaligned/narrow rows,
+  // so it always goes through this padded buffer, then rows are memcpy'd
+  // into the caller's packed array
+  uint8_t* scale_buf = nullptr;
+  int scale_stride = 0;
   int64_t pos = -1;  // index of the next frame the decoder will emit
   std::string error;
 };
@@ -179,6 +184,9 @@ int vdec_read_frames(void* h, const long long* indices, int n,
                             nullptr, nullptr);
     r->sws_w = out_w;
     r->sws_h = out_h;
+    if (r->scale_buf) av_free(r->scale_buf);
+    r->scale_stride = (out_w * 3 + 63) & ~63;  // 64-byte aligned rows
+    r->scale_buf = (uint8_t*)av_malloc((size_t)r->scale_stride * out_h + 64);
   }
 
   int failures = 0;
@@ -216,10 +224,13 @@ int vdec_read_frames(void* h, const long long* indices, int n,
       failures++;
       continue;
     }
-    uint8_t* planes[1] = {dst};
-    int strides[1] = {out_w * 3};
+    uint8_t* planes[1] = {r->scale_buf};
+    int strides[1] = {r->scale_stride};
     sws_scale(r->sws, r->frame->data, r->frame->linesize, 0, r->height,
               planes, strides);
+    for (int row = 0; row < out_h; row++)
+      memcpy(dst + (size_t)row * out_w * 3,
+             r->scale_buf + (size_t)row * r->scale_stride, out_w * 3);
     last_done = want;
     last_ptr = dst;
   }
@@ -229,6 +240,7 @@ int vdec_read_frames(void* h, const long long* indices, int n,
 void vdec_close(void* h) {
   Reader* r = (Reader*)h;
   if (!r) return;
+  if (r->scale_buf) av_free(r->scale_buf);
   if (r->sws) sws_freeContext(r->sws);
   if (r->frame) av_frame_free(&r->frame);
   if (r->pkt) av_packet_free(&r->pkt);
