@@ -18,9 +18,10 @@ import jax
 from jax.sharding import PartitionSpec as P
 
 # names of Dense submodules whose kernel output dim is sharded (column
-# parallel) vs input dim (row parallel)
+# parallel) vs input dim (row parallel). 'c_attn' covers GPT-2's packed
+# qkv and the cross-attention packed kv.
 _COL_PARALLEL = ("qkv", "in_proj", "fc1", "c_fc", "q_lin", "k_lin", "v_lin",
-                 "to_q", "to_kv", "q_attn")
+                 "to_q", "to_kv", "q_attn", "c_attn")
 _ROW_PARALLEL = ("proj", "out_proj", "fc2", "c_proj", "out_lin", "to_out")
 
 
