@@ -109,3 +109,36 @@ def test_grad_accumulation_multisteps():
     assert float(state.params["logit_scale"]) == float(p0)
     state, _ = step(state, batch)          # applies the update
     assert float(state.params["logit_scale"]) != float(p0)
+
+
+def test_clip_hf_train_step_with_mask():
+    """VideoCLIPHF (DistilBERT tower): masked text flows through the
+    train step (reference CLIP_HF forward signature with attention mask)."""
+    from lavila_tpu.models.distilbert import DistilBertModel
+    from lavila_tpu.models.dual_encoder import VideoCLIPHF
+    from lavila_tpu.models.timesformer import SpaceTimeTransformer
+
+    model = VideoCLIPHF(
+        vision_model=SpaceTimeTransformer(
+            img_size=32, patch_size=16, embed_dim=32, depth=1, num_heads=4,
+            num_frames=2, ln_pre=True, act="quick_gelu"),
+        text_model=DistilBertModel(vocab_size=64, dim=32, num_heads=4,
+                                   hidden_dim=64, n_layers=1,
+                                   max_position_embeddings=16),
+        vision_width=32, text_width=32, embed_dim=16)
+    rng = np.random.default_rng(0)
+    batch = {
+        "frames": jnp.asarray(rng.normal(size=(8, 2, 32, 32, 3)),
+                              jnp.float32),
+        "text": jnp.asarray(rng.integers(1, 63, size=(8, 10)), jnp.int32),
+        "mask": jnp.asarray(
+            (np.arange(10)[None] < rng.integers(3, 10, size=(8, 1)))
+            .astype(np.float32)),
+    }
+    params = model.init(jax.random.key(0), batch["frames"][:1],
+                        batch["text"][:1], batch["mask"][:1])["params"]
+    state = TrainState.create(params, make_optimizer(1e-3))
+    step = jax.jit(make_clip_train_step(model, norm_embed=True))
+    state, m0 = step(state, batch)
+    state, m1 = step(state, batch)
+    assert float(m1["loss"]) < float(m0["loss"])
