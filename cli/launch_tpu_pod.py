@@ -52,6 +52,8 @@ def main(argv=None):
         print(f"=> jax.distributed: process {jax.process_index()} / "
               f"{jax.process_count()}, {jax.local_device_count()} local / "
               f"{jax.device_count()} global devices")
+        from lavila_tpu.utils.logging import setup_for_distributed
+        setup_for_distributed(jax.process_index() == 0)
 
     import importlib
     mod = importlib.import_module(ENTRY_POINTS[args.entry])

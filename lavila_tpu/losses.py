@@ -164,3 +164,22 @@ def max_margin_loss(image_embed: jax.Array, text_embed: jax.Array,
 
 
 LOGIT_SCALE_MAX = 4.6052  # clamp: exp(4.6052) ≈ 100 (reference main_pretrain.py:529)
+
+
+def get_loss(model_name: str):
+    """Loss selector keyed by model family (reference models.py:293-304):
+    CLIP_* → InfoNCE, VCLM_* → caption loss."""
+    if model_name.startswith("CLIP"):
+        return clip_loss
+    if model_name.startswith("VCLM"):
+        return caption_loss
+    raise NotImplementedError(model_name)
+
+
+def get_metric_names(model_name: str) -> list[str]:
+    """Metric keys per model family (reference models.py:307-313)."""
+    if model_name.startswith("CLIP"):
+        return ["loss", "clip_loss", "clip_acc"]
+    if model_name.startswith("VCLM"):
+        return ["loss", "caption_loss", "caption_acc", "ppl"]
+    raise NotImplementedError(model_name)

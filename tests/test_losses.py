@@ -135,3 +135,13 @@ def test_max_margin_adaptive_weights():
     assert float(out_w["loss"]) != float(out["loss"])
     # weights <= 1 shrink margins -> loss should not increase
     assert float(out_w["loss"]) <= float(out["loss"]) + 1e-6
+
+
+def test_get_loss_and_metric_names():
+    assert losses.get_loss("CLIP_OPENAI_TIMESFORMER_BASE") is \
+        losses.clip_loss
+    assert losses.get_loss("VCLM_OPENAI_TIMESFORMER_BASE_GPT2") is \
+        losses.caption_loss
+    assert losses.get_metric_names("CLIP_X") == ["loss", "clip_loss",
+                                                 "clip_acc"]
+    assert "ppl" in losses.get_metric_names("VCLM_X")
