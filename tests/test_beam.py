@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lavila_tpu.models.beam import BeamDecoder
 from lavila_tpu.models.gpt2 import GPT2Config, GPT2LMHead, augment_config
@@ -70,3 +71,56 @@ def test_beam_search_prefers_higher_likelihood():
                                        rng=np.random.default_rng(1),
                                        num_beams=1, temperature=2.0)
     assert beam_scores[0] >= sample_scores[0] - 1e-4
+
+
+@pytest.mark.parametrize("seed", [3, 7, 11])
+def test_beam_search_matches_hf_generate(seed):
+    """Deterministic beam search reproduces HF GPT2LMHeadModel.generate
+    (num_beams=3) exactly on shared weights."""
+    import torch
+    from transformers import GPT2Config as HFConfig
+    from transformers import GPT2LMHeadModel
+    from lavila_tpu.models import import_torch as imp
+    from lavila_tpu.models.gpt2 import GPT2Config as JCfg, GPT2LMHead
+
+    torch.manual_seed(seed)
+    hf = GPT2LMHeadModel(HFConfig(
+        vocab_size=48, n_positions=24, n_embd=32, n_layer=2, n_head=4,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0)).eval()
+    jcfg = JCfg(vocab_size=48, n_positions=24, n_embd=32, n_layer=4 // 2,
+                n_head=4)
+    m = GPT2LMHead(jcfg)
+    params = {"params": imp.import_gpt2(
+        {k: v.detach().numpy() for k, v in hf.state_dict().items()}, 2)}
+
+    class Adapter:
+        class TD:
+            cfg = jcfg
+        text_decoder = TD()
+
+        def apply(self, variables, *args, method=None):
+            if method == "prepare_decode":
+                return {}
+            tokens, cross_kv, cache, i = args
+            logits, new_cache = m.apply(variables, tokens, cache=cache,
+                                        cache_index=i)
+            return logits[:, -1], new_cache
+
+    max_len = 12
+    with torch.no_grad():
+        hf_out = hf.generate(torch.tensor([[1]]), max_length=max_len,
+                             num_beams=3, do_sample=False,
+                             early_stopping=False,
+                             num_return_sequences=1,
+                             length_penalty=1.0)[0].tolist()
+    dec = BeamDecoder(Adapter(), params, bos_id=1, eos_id=2, pad_id=0,
+                      max_text_length=max_len)
+    seqs, _ = dec.beam_search(np.zeros((1, 4, 32), np.float32),
+                              num_beams=3)
+    ours = [int(x) for x in seqs[0]]
+
+    def cut(s):
+        return s[:s.index(2) + 1] if 2 in s else s
+
+    assert cut(hf_out) == cut(ours)
