@@ -205,3 +205,30 @@ def test_inflate_temporal_embed_matches_torch_interpolate():
     assert imp.inflate_temporal_embed(te, 2, "zeros").shape == (1, 2, 6)
     z = imp.inflate_temporal_embed(te, 6, "zeros")
     assert (z[:, 4:] == 0).all()
+
+
+def test_caption_loss_matches_hf_lm_loss():
+    """caption_loss on our GPT-2 logits == HF's language-modeling loss on
+    the same weights and tokens (pad positions ignored both sides)."""
+    from transformers import GPT2Config, GPT2LMHeadModel
+    from lavila_tpu import losses
+    from lavila_tpu.models.gpt2 import GPT2Config as JCfg, GPT2LMHead
+
+    torch.manual_seed(0)
+    hf = GPT2LMHeadModel(GPT2Config(
+        vocab_size=64, n_positions=16, n_embd=32, n_layer=2, n_head=4,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0)).eval()
+    ids = torch.tensor([[5, 9, 17, 3, 22, 8]])
+    labels = ids.clone()
+    with torch.no_grad():
+        hf_loss = float(hf(ids, labels=labels).loss)
+
+    m = GPT2LMHead(JCfg(vocab_size=64, n_positions=16, n_embd=32,
+                        n_layer=2, n_head=4))
+    params = {"params": imp.import_gpt2(to_np(hf.state_dict()), 2)}
+    logits, _ = m.apply(params, jnp.asarray(ids.numpy()))
+    # teacher-forced: predict token t+1 from prefix t (same shift as HF)
+    out = losses.caption_loss(logits[:, :-1],
+                              jnp.asarray(ids.numpy())[:, 1:],
+                              pad_id=0)
+    np.testing.assert_allclose(float(out["loss"]), hf_loss, rtol=1e-3)
