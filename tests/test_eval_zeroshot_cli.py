@@ -143,3 +143,35 @@ def test_eval_cli_loads_released_style_torch_checkpoint(ek100_fixture,
         "--workers", "2"])
     out = main(args)
     assert np.isfinite(out["mAP_avg"])
+
+
+def test_eval_charades_ego_cli(tmp_path):
+    """Charades-Ego untrimmed multilabel video mAP through the CLI path."""
+    root = tmp_path / "vids"
+    root.mkdir()
+    encode_test_video(str(root / "VID1EGO.mp4"), 64, 64, 30, 90)
+    meta = tmp_path / "CharadesEgo_v1_test_only1st.csv"
+    meta.write_text(
+        "id,subject,scene,quality,relevance,verified,script,objects,"
+        "descriptions,actions,length\n"
+        "VID1EGO,s,Kitchen,5,5,Yes,script,objects,desc,"
+        "c092 0.5 2.0;c147 0.2 2.5,3.0\n")
+    classes = tmp_path / "Charades_v1_classes.txt"
+    classes.write_text("c092 someone is cooking\nc147 someone is eating\n"
+                       "c100 someone is running\n")
+
+    import cli.eval_zeroshot as ez
+    from lavila_tpu.data.label_maps import generate_label_map
+    args = ez.get_args_parser().parse_args([
+        "--dataset", "charades_ego", "--root", str(root),
+        "--metadata", str(meta), "--metadata-val", str(meta),
+        "--model", "CLIP_OPENAI_TIMESFORMER_MINI", "--clip-length", "4",
+        "--clip-stride", "2", "--batch-size", "2", "--workers", "2"])
+    labels, mapping = generate_label_map("charades_ego",
+                                         metadata=str(classes))
+    model, variables, tokenizer, model_name = \
+        ez.load_model_from_checkpoint(args)
+    out = ez.eval_classification(args, model, variables, tokenizer,
+                                 model_name, labels, mapping,
+                                 multilabel=True)
+    assert "video_mAP" in out and np.isfinite(out["video_mAP"])
