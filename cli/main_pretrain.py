@@ -182,9 +182,18 @@ def main(cfg: PretrainConfig):
         meters = {k: AverageMeter(k, ":.4f") for k in metric_names}
         batch_time = AverageMeter("time", ":.3f")
         data_time = AverageMeter("data", ":.3f")
+        mem = AverageMeter("mem(GB)", ":.1f")  # device HBM in use
         progress = ProgressMeter(
-            len(loader), [batch_time, data_time] + list(meters.values()),
+            len(loader),
+            [batch_time, data_time, mem] + list(meters.values()),
             prefix=f"Epoch [{epoch}]")
+
+        def hbm_gb():
+            try:
+                stats = jax.local_devices()[0].memory_stats() or {}
+                return stats.get("bytes_in_use", 0) / 1e9
+            except Exception:
+                return 0.0
         timer = Timer()
         for it, batch in enumerate(loader):
             data_time.update(timer.lap())
@@ -210,6 +219,7 @@ def main(cfg: PretrainConfig):
                 for k in metric_names:
                     if k in metrics:
                         meters[k].update(float(metrics[k]), cfg.batch_size)
+                mem.update(hbm_gb())
                 batch_time.update(timer.lap())
                 progress.display(it)
                 if wandb_run is not None:
