@@ -71,18 +71,22 @@ def _average_precision_rows(sim: np.ndarray, rel: np.ndarray) -> np.ndarray:
     order = np.argsort(-sim, axis=1)
     rows = np.arange(sim.shape[0])[:, None]
     rel_ranked = rel[rows, order]
-    hits = (rel_ranked == 1)
-    cum_hits = np.cumsum(hits, axis=1) * hits
+    # Reference protocol (evaluation_ek100mir.py:calculate_mAP): cumsum the
+    # GRADED relevancy values, then zero every position whose own relevancy
+    # is != 1 — p(k) at a hit thus credits partial-relevance items ranked
+    # above it. Normalizer counts only rel == 1 docs.
+    cum = np.cumsum(rel_ranked, axis=1)
+    cum[rel_ranked != 1] = 0
     ranks = np.arange(1, sim.shape[1] + 1)[None]
-    n_rel = hits.sum(axis=1)
-    ap = (cum_hits / ranks).sum(axis=1) / np.maximum(n_rel, 1)
+    n_rel = (rel_ranked == 1).sum(axis=1)
+    ap = (cum / ranks).sum(axis=1) / np.maximum(n_rel, 1)
     return np.where(n_rel > 0, ap, 0.0)
 
 
 def retrieval_map(sim: np.ndarray, rel: np.ndarray
                   ) -> tuple[float, float, float]:
-    """(video→text mAP, text→video mAP, avg); binary hit at rel == 1
-    (reference evaluation_ek100mir.py:calculate_mAP/get_mAP)."""
+    """(video→text mAP, text→video mAP, avg); graded-relevance AP with
+    hits at rel == 1 (reference evaluation_ek100mir.py:calculate_mAP/get_mAP)."""
     v = float(_average_precision_rows(sim, rel).mean())
     t = float(_average_precision_rows(sim.T, rel.T).mean())
     return v, t, (v + t) / 2

@@ -29,9 +29,21 @@ def create_mesh(data: int = -1, model: int = 1,
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
-        assert n % model == 0, (n, model)
+        if n % model != 0:
+            raise ValueError(
+                f"create_mesh: {n} visible device(s) not divisible by "
+                f"model={model}. Pass an explicit `devices=` list or a "
+                f"model-axis size that divides the device count.")
         data = n // model
-    assert data * model == n, (data, model, n)
+    if data * model != n:
+        raise ValueError(
+            f"create_mesh: requested data={data} × model={model} = "
+            f"{data * model} devices but {n} are visible "
+            f"({[d.platform for d in devices[:4]]}...). On a single chip "
+            f"use data=1, model=1; for a virtual multi-device CPU mesh set "
+            f"jax.config jax_platforms='cpu' and jax_num_cpu_devices=N "
+            f"(or XLA_FLAGS=--xla_force_host_platform_device_count=N) "
+            f"BEFORE the first device query.")
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, axis_names=("data", "model"))
 

@@ -36,12 +36,46 @@ def test_retrieval_map_perfect_and_worst():
     assert avg < 0.6
 
 
-def test_retrieval_map_graded_relevancy_binary_hits_only():
-    # only rel==1 entries count as hits (reference cumulative_rel_mat rule)
+def test_retrieval_map_graded_relevancy():
+    # Reference rule: cumsum GRADED relevancy, zero positions with rel != 1,
+    # normalize by count of rel==1 docs. With the 0.5-item ranked first,
+    # the rel==1 item at rank 2 gets p(2) = (0.5 + 1.0)/2 = 0.75.
     rel = np.array([[1.0, 0.5], [0.5, 1.0]])
     sim = np.array([[0.1, 0.9], [0.9, 0.1]])  # ranks the 0.5 items first
     v, _, _ = M.retrieval_map(sim, rel)
-    assert v == pytest.approx(0.5)  # true item at rank 2 -> AP = 1/2
+    assert v == pytest.approx(0.75)
+
+
+def test_retrieval_map_matches_reference_algorithm():
+    # Independent loop-based transcription of the reference calculate_mAP
+    # math (evaluation_ek100mir.py:151-177), checked on a random graded
+    # relevancy matrix with ties at 0 / 0.5 / 1.
+    rng = np.random.default_rng(3)
+    sim = rng.uniform(size=(12, 17))
+    rel = rng.choice([0.0, 0.1, 0.5, 1.0], size=(12, 17),
+                     p=[0.55, 0.2, 0.15, 0.1])
+    rel[:, 0] = 1.0  # every query has at least one exact match
+
+    def ap_row(s, r):
+        order = np.argsort(-s)
+        rr = r[order]
+        n_rel = (rr == 1).sum()
+        if n_rel == 0:  # reference would NaN here; we define AP = 0
+            return 0.0
+        total, cum = 0.0, 0.0
+        for k in range(len(rr)):
+            cum += rr[k]
+            if rr[k] == 1:
+                total += cum / (k + 1)
+        return total / n_rel
+
+    expect_v = np.mean([ap_row(sim[i], rel[i]) for i in range(sim.shape[0])])
+    expect_t = np.mean([ap_row(sim[:, j], rel[:, j])
+                        for j in range(sim.shape[1])])
+    v, t, avg = M.retrieval_map(sim, rel)
+    assert v == pytest.approx(expect_v)
+    assert t == pytest.approx(expect_t)
+    assert avg == pytest.approx((expect_v + expect_t) / 2)
 
 
 def test_retrieval_ndcg_perfect():
