@@ -82,8 +82,23 @@ def load_model_from_checkpoint(args):
                 ".pth"):
             from lavila_tpu.models import import_torch as imp
             sd = imp.load_torch_state_dict(args.checkpoint)
-            params = imp.import_video_clip(
-                sd, num_frames=config.get("clip_length", args.clip_length))
+            nf = config.get("clip_length", args.clip_length)
+            # dispatch on model family — the released checkpoints use three
+            # key layouts (CLIP text tower / DistilBERT 'textual.*' / VCLM)
+            if model_name.startswith("VCLM"):
+                params = imp.import_vclm(
+                    sd, vis_depth=imp.count_layers(sd, "visual.blocks."),
+                    gpt2_layers=imp.count_layers(
+                        sd, "text_decoder.transformer.h."),
+                    num_frames=nf)
+            elif "DISTILBERT" in model_name:
+                params = imp.import_video_clip_hf(
+                    sd, depth=imp.count_layers(sd, "visual.blocks."),
+                    num_frames=nf,
+                    projection=("frozen_in_time" if "EGOVLP" in model_name
+                                else "default"))
+            else:
+                params = imp.import_video_clip(sd, num_frames=nf)
         else:
             mgr = CheckpointManager(osp.dirname(args.checkpoint) or ".")
             tree, _ = mgr.restore({"params": params}, tag=args.checkpoint)

@@ -69,9 +69,12 @@ def main(args):
     if args.max_samples:
         ds.samples = ds.samples[:args.max_samples]
         samples_meta = ds.samples
+    # with_indices: each batch carries the global dataset indices of its
+    # samples, so (video_uid, caption) pairing survives any shuffle /
+    # drop_last change — no fragile sampler re-iteration.
     loader = DataLoader(ds, args.batch_size, shuffle=False, drop_last=False,
                         num_workers=args.workers, shard_index=rank,
-                        num_shards=world)
+                        num_shards=world, with_indices=True)
 
     frames0 = jnp.zeros((1, args.clip_length, crop, crop, 3), jnp.float32)
     text0 = jnp.zeros((1, 8), jnp.int32)
@@ -114,7 +117,6 @@ def main(args):
 
     key = jax.random.key(args.seed + rank)
     records = []
-    idx_iter = iter(loader.sampler)
     for bi, batch in enumerate(loader):
         toks = encode_image(variables, jnp.asarray(batch["frames"]))
         key, sub = jax.random.split(key)
@@ -123,7 +125,7 @@ def main(args):
         ppls = np.asarray(ppls)
         n = batch["frames"].shape[0]
         for j in range(n):
-            gi = next(idx_iter)
+            gi = int(batch["index"][j])
             meta = samples_meta[gi]
             caps = []
             for r in range(args.num_return_sequences):

@@ -130,6 +130,7 @@ def main(cfg: PretrainConfig):
 
     mgr = CheckpointManager(cfg.output_dir)
     start_epoch = cfg.start_epoch
+    best_metric = float("-inf")
     resume = resolve_resume(cfg.output_dir, cfg.resume or None)
     if resume:
         print(f"=> resuming from {resume}")
@@ -141,6 +142,8 @@ def main(cfg: PretrainConfig):
             params=tree["params"], opt_state=tree["opt_state"],
             criterion_params=tree["criterion_params"] or None)
         start_epoch = int(meta.get("epoch", -1)) + 1
+        best_metric = float(meta.get("metrics", {}).get(
+            "best_metric", float("-inf")))
 
     state = state.replace(params=shard_params(state.params, mesh))
 
@@ -237,13 +240,20 @@ def main(cfg: PretrainConfig):
         probe_metrics = {}
         if cfg.val_metadata and not is_vclm:
             probe_metrics = run_probe()
+        # best-checkpoint tracking keyed on probe avg mAP
+        # (reference main_pretrain.py:394-403 keeps checkpoint_best.pt)
+        is_best = False
+        if probe_metrics.get("mAP_avg", float("-inf")) > best_metric:
+            is_best, best_metric = True, probe_metrics["mAP_avg"]
         if jax.process_index() == 0:
             tree = {"params": jax.device_get(state.params),
                     "opt_state": jax.device_get(state.opt_state),
                     "criterion_params": jax.device_get(
                         state.criterion_params) or {}}
             mgr.save(tree, epoch=epoch, config=cfg.asdict(),
-                     metrics=probe_metrics)
+                     metrics={**probe_metrics, "best_metric": best_metric},
+                     is_best=is_best,
+                     keep_epoch=(epoch + 1) % cfg.save_freq == 0)
             log = {f"train_{k}": m.avg for k, m in meters.items()}
             log.update(probe_metrics)
             log["epoch"] = epoch

@@ -75,7 +75,7 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 8, drop_last: bool = True,
                  shard_index: int = 0, num_shards: int = 1, seed: int = 0,
-                 prefetch: int = 2):
+                 prefetch: int = 2, with_indices: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = ShardedSampler(len(dataset), shard_index, num_shards,
@@ -83,6 +83,11 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # with_indices=True adds batch['index'] = the global dataset indices
+        # of this batch, so consumers never re-derive sample identity by
+        # re-iterating the sampler (which silently desynchronizes if
+        # shuffle/drop_last change — see main_infer_narrator merge).
+        self.with_indices = with_indices
 
     def set_epoch(self, epoch: int):
         self.sampler.set_epoch(epoch)
@@ -103,21 +108,42 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def make_batch(idxs, fut):
+            batch = collate(list(fut))
+            if self.with_indices:
+                batch["index"] = np.asarray(idxs)
+            return batch
+
+        def put(item) -> bool:
+            # bounded put that re-checks stop — an early consumer break can
+            # never leave the producer blocked on a full queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.05)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                # pipeline at batch granularity; samples fetched in parallel
-                pending = []
-                for b in batches:
-                    if stop.is_set():
-                        break
-                    pending.append(pool.map(self.dataset.__getitem__, b))
-                    while len(pending) > self.prefetch:
-                        q.put(collate(list(pending.pop(0))))
-                for fut in pending:
-                    if stop.is_set():
-                        break
-                    q.put(collate(list(fut)))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    # batch-granularity pipeline; samples fetch in parallel
+                    pending = []
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        pending.append(
+                            (b, pool.map(self.dataset.__getitem__, b)))
+                        while len(pending) > self.prefetch:
+                            if not put(make_batch(*pending.pop(0))):
+                                return
+                    for b, fut in pending:
+                        if not put(make_batch(b, fut)):
+                            return
+            finally:
+                put(None)
+                stop.set()  # unblock nothing-left states; marks completion
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -129,9 +155,10 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
-            # drain so the producer can exit
+            # drain until the producer thread exits so it never deadlocks
             while t.is_alive():
                 try:
-                    q.get_nowait()
+                    q.get(timeout=0.05)
                 except queue.Empty:
-                    break
+                    pass
+            t.join()

@@ -50,12 +50,15 @@ def cosine_schedule(base_lr: float, final_lr: float, epochs: int,
 
 
 def _no_decay(path, leaf) -> bool:
+    """Reference grouping (main_pretrain.py:199-206): exempt only
+    ndim < 2 params and bias / ln / bn names. Token embeddings, the
+    patch-embed conv kernel and ndim>=2 positional/cls embeds DO receive
+    weight decay, exactly like the reference recipe."""
     names = [str(getattr(k, "key", getattr(k, "name", ""))) for k in path]
     joined = "/".join(names).lower()
     if leaf.ndim < 2:
-        return True  # biases, LN scales, gates, logit_scale, cls tokens ...
-    for tag in ("embed", "bias", "norm", "ln_", "cls_token",
-                "positional_embedding"):
+        return True  # biases, LN scales, gates, logit_scale ...
+    for tag in ("bias", "ln", "bn"):
         if tag in joined:
             return True
     return False

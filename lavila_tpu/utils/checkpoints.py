@@ -21,16 +21,32 @@ from __future__ import annotations
 import json
 import os
 import os.path as osp
+import re
+import shutil
 from typing import Any, Optional
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
+_EPOCH_DIR = re.compile(r"^checkpoint_(\d{4})$")
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Duplicate an orbax checkpoint dir via hard links (O(1) data copies;
+    the files are immutable once written). Falls back to a real copy on
+    filesystems without hard links."""
+    try:
+        shutil.copytree(src, dst, copy_function=os.link)
+    except OSError:
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
+
 
 class CheckpointManager:
     def __init__(self, output_dir: str, max_to_keep: Optional[int] = None):
         self.output_dir = osp.abspath(output_dir)
+        self.max_to_keep = max_to_keep
         os.makedirs(self.output_dir, exist_ok=True)
         self._ckpt = ocp.StandardCheckpointer()
 
@@ -38,21 +54,52 @@ class CheckpointManager:
         return osp.join(self.output_dir, f"checkpoint_{tag}")
 
     def save(self, tree: Any, *, epoch: int, config: Optional[dict] = None,
-             is_best: bool = False, metrics: Optional[dict] = None):
-        """Save pytree + JSON sidecar (config, epoch, metrics)."""
-        tree = jax.tree.map(np.asarray, tree)
+             is_best: bool = False, metrics: Optional[dict] = None,
+             keep_epoch: bool = True):
+        """Save pytree + JSON sidecar (config, epoch, metrics).
+
+        The tree is written ONCE (to the epoch-tagged dir); 'latest' and
+        'best' are hard-linked from it — the reference's
+        checkpoint.pt/checkpoint_{epoch}.pt/checkpoint_best.pt contract
+        (reference distributed.py:61-73, main_pretrain.py:388-403) without
+        the 2-3× write amplification. ``keep_epoch=False`` drops the
+        epoch-tagged copy after linking (reference ``--save-freq``
+        semantics). jax.Arrays (possibly sharded) are passed straight to
+        orbax, which saves per-shard — no host gather."""
         meta = {"epoch": epoch, "config": config or {},
                 "metrics": metrics or {}}
-        for tag in ([f"{epoch:04d}", "latest"]
-                    + (["best"] if is_best else [])):
+        primary = self._path(f"{epoch:04d}")
+        if osp.exists(primary):
+            shutil.rmtree(primary)
+        self._ckpt.save(primary, tree)
+        self._ckpt.wait_until_finished()
+        with open(primary + ".json", "w") as f:
+            json.dump(meta, f)
+        for tag in ["latest"] + (["best"] if is_best else []):
             path = self._path(tag)
             if osp.exists(path):
-                import shutil
                 shutil.rmtree(path)
-            self._ckpt.save(path, tree)
-            self._ckpt.wait_until_finished()
-            with open(path + ".json", "w") as f:
-                json.dump(meta, f)
+            _link_tree(primary, path)
+            shutil.copyfile(primary + ".json", path + ".json")
+        if not keep_epoch:
+            shutil.rmtree(primary, ignore_errors=True)
+            os.remove(primary + ".json")
+        self._prune()
+
+    def _prune(self):
+        """Keep only the newest ``max_to_keep`` epoch-tagged checkpoints
+        ('latest'/'best' survive — hard links keep their data alive)."""
+        if not self.max_to_keep:
+            return
+        epochs = sorted(
+            d for d in os.listdir(self.output_dir)
+            if _EPOCH_DIR.match(d) and osp.isdir(osp.join(self.output_dir, d)))
+        for d in epochs[:-self.max_to_keep]:
+            shutil.rmtree(osp.join(self.output_dir, d), ignore_errors=True)
+            try:
+                os.remove(osp.join(self.output_dir, d + ".json"))
+            except FileNotFoundError:
+                pass
 
     def latest_path(self) -> Optional[str]:
         p = self._path("latest")

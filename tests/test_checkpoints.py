@@ -37,6 +37,51 @@ def test_epoch_and_best_copies(tmp_path):
     assert meta_e0["epoch"] == 0
 
 
+def test_max_to_keep_prunes_epoch_dirs_not_links(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), max_to_keep=2)
+    for e in range(4):
+        mgr.save(tree(), epoch=e, is_best=(e == 0))
+    import os
+    names = sorted(d for d in os.listdir(tmp_path)
+                   if d.startswith("checkpoint_") and not d.endswith(".json"))
+    assert names == ["checkpoint_0002", "checkpoint_0003",
+                     "checkpoint_best", "checkpoint_latest"]
+    # 'best' hard-links data from the pruned epoch-0 dir — still restorable
+    _, meta_best = mgr.restore(tree(), "best")
+    assert meta_best["epoch"] == 0
+    restored, _ = mgr.restore(tree(), "latest")
+    np.testing.assert_array_equal(np.asarray(restored["nested"]["b"]),
+                                  np.ones(4))
+
+
+def test_keep_epoch_false_only_updates_latest(tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(tree(), epoch=0)
+    mgr.save(tree(), epoch=1, keep_epoch=False)
+    import os
+    names = sorted(d for d in os.listdir(tmp_path)
+                   if d.startswith("checkpoint_") and not d.endswith(".json"))
+    assert names == ["checkpoint_0000", "checkpoint_latest"]
+    _, meta = mgr.restore(tree(), "latest")
+    assert meta["epoch"] == 1
+
+
+def test_save_accepts_sharded_jax_arrays(tmp_path):
+    # pod path: pass (possibly sharded) jax.Arrays straight through — no
+    # host np.asarray gather (ADVICE r1)
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]).reshape(4),
+                             ("data",))
+    t = {"w": jax.device_put(jnp.arange(8.0).reshape(4, 2),
+                             NamedSharding(mesh, P("data")))}
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(t, epoch=0)
+    restored, _ = mgr.restore({"w": jnp.zeros((4, 2))})
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.arange(8.0).reshape(4, 2))
+
+
 def test_auto_resume_overrides_explicit(tmp_path):
     assert resolve_resume(str(tmp_path), None) is None
     assert resolve_resume(str(tmp_path), "/some/path") == "/some/path"

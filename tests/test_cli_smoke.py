@@ -101,3 +101,9 @@ def test_pretrain_with_ek100_probe(tmp_path):
     log = (tmp_path / "run" / "log.txt").read_text().strip().splitlines()
     rec = json.loads(log[-1])
     assert "mAP_avg" in rec  # probe metrics landed in the training log
+    # first probe improves on -inf -> checkpoint_best kept
+    # (reference main_pretrain.py:394-403)
+    assert (tmp_path / "run" / "checkpoint_best").exists()
+    meta = json.loads(
+        (tmp_path / "run" / "checkpoint_best.json").read_text())
+    assert meta["metrics"]["best_metric"] == rec["mAP_avg"]

@@ -153,6 +153,40 @@ def test_synthetic_dataset_and_loader():
     assert b["text"].shape == (8, 77)
 
 
+def test_loader_early_break_does_not_leak_producer():
+    """Consumer breaking mid-epoch (probes, bench --data) must not leave
+    the producer thread blocked on a full queue (ADVICE r1)."""
+    import threading
+    import time
+    cfg = DatasetConfig(dataset="synthetic", root="", metadata="",
+                        clip_length=2)
+    ds = VideoCaptionDataset(cfg, transform=T.TrainTransform(32),
+                             tokenizer=ClipBpeTokenizer(), seed=0)
+    before = threading.active_count()
+    for _ in range(3):
+        loader = DataLoader(ds, batch_size=4, num_workers=2, prefetch=1,
+                            shuffle=False)
+        for i, _b in enumerate(loader):
+            if i == 1:
+                break  # abandon mid-epoch
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_loader_with_indices_yields_global_ids():
+    cfg = DatasetConfig(dataset="synthetic", root="", metadata="",
+                        clip_length=2)
+    ds = VideoCaptionDataset(cfg, transform=T.TrainTransform(32),
+                             tokenizer=ClipBpeTokenizer(), seed=0)
+    loader = DataLoader(ds, batch_size=8, num_workers=2, shuffle=False,
+                        shard_index=1, num_shards=2, with_indices=True,
+                        drop_last=False)
+    seen = np.concatenate([b["index"] for b in loader])
+    assert sorted(seen.tolist()) == list(range(1, len(ds), 2))
+
+
 def test_sharded_sampler_disjoint_and_complete():
     s0 = ShardedSampler(100, 0, 4, shuffle=True, seed=1)
     s1 = ShardedSampler(100, 1, 4, shuffle=True, seed=1)

@@ -84,9 +84,13 @@ def test_wd_mask_excludes_norms_and_scalars():
     assert not flat["['logit_scale']"]
     key_bias = [k for k in flat if "bias" in k]
     assert key_bias and not any(flat[k] for k in key_bias)
-    key_kernels = [k for k in flat
-                   if "kernel" in k and "patch_embed" not in k]
-    assert any(flat[k] for k in key_kernels)
+    key_kernels = [k for k in flat if "kernel" in k]
+    assert key_kernels and all(flat[k] for k in key_kernels)
+    # reference recipe (main_pretrain.py:199-206) DOES decay ndim>=2
+    # embedding matrices and the patch-embed conv kernel
+    key_embed = [k for k in flat
+                 if "embed" in k.lower() and "kernel" in k]
+    assert all(flat[k] for k in key_embed)
 
 
 def test_clamp_logit_scale():
