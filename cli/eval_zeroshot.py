@@ -113,7 +113,9 @@ def crop_shape(model_name):
 
 
 def embed_dataset(model, variables, loader, has_mask=False):
-    """Encode all (video, text) pairs → L2-normalized embedding arrays."""
+    """Encode all (video, text) pairs → L2-normalized embedding arrays.
+    Multi-view batches (B, views, T, H, W, C) are encoded per view and
+    mean-pooled over normalized view embeddings (then re-normalized)."""
     enc_i = jax.jit(lambda v, f: model.apply(v, f, method="encode_image"))
     if has_mask:
         enc_t = jax.jit(lambda v, t, m: model.apply(
@@ -123,13 +125,22 @@ def embed_dataset(model, variables, loader, has_mask=False):
             v, t, method="encode_text"))
     vids, txts = [], []
     for batch in loader:
-        iv = enc_i(variables, jnp.asarray(batch["frames"]))
+        frames = np.asarray(batch["frames"])
+        views = 1
+        if frames.ndim == 6:
+            views = frames.shape[1]
+            frames = frames.reshape((-1,) + frames.shape[2:])
+        iv = np.array(enc_i(variables, jnp.asarray(frames)), np.float32)
+        if views > 1:
+            iv /= np.maximum(np.linalg.norm(iv, axis=1, keepdims=True),
+                             1e-8)
+            iv = iv.reshape(-1, views, iv.shape[-1]).mean(axis=1)
         if has_mask:
             tv = enc_t(variables, jnp.asarray(batch["text"]),
                        jnp.asarray(batch["mask"]))
         else:
             tv = enc_t(variables, jnp.asarray(batch["text"]))
-        vids.append(np.asarray(iv, np.float32))
+        vids.append(iv)
         txts.append(np.asarray(tv, np.float32))
     v = np.concatenate(vids)
     t = np.concatenate(txts)
@@ -138,23 +149,34 @@ def embed_dataset(model, variables, loader, has_mask=False):
     return v, t
 
 
-def eval_ek100_mir(args, model, variables, tokenizer, model_name):
+def eval_ek100_mir(model, variables, tokenizer, model_name, *, root,
+                   metadata, clip_length, clip_stride, batch_size,
+                   workers, num_clips=1, num_crops=1):
+    """EK-100 MIR retrieval eval. Explicit keyword signature so in-train
+    probes cannot silently drift from the CLI (no duck-typed namespaces).
+    ``num_clips``/``num_crops`` enable the multi-view protocol; per-view
+    embeddings are mean-pooled (reference applies Temporal/SpatialCrop to
+    the MIR val path, eval_zeroshot.py:117-125)."""
     from lavila_tpu.data.datasets import load_ek100_mir_relevancy
     mean, std = T.normalization_for_model(model_name)
     crop = crop_shape(model_name)[0]
-    transform = T.EvalTransform(crop, mean, std)
-    dcfg = DatasetConfig(dataset="ek100_mir", root=args.root,
-                         metadata=args.metadata,
-                         clip_length=args.clip_length,
-                         clip_stride=args.clip_stride)
+    transform = T.EvalTransform(crop, mean, std,
+                                num_spatial_crops=num_crops,
+                                num_temporal_clips=num_clips,
+                                frames_per_clip=clip_length)
+    dcfg = DatasetConfig(dataset="ek100_mir", root=root,
+                         metadata=metadata,
+                         clip_length=clip_length,
+                         clip_stride=clip_stride,
+                         num_clips=num_clips)
     ds = VideoCaptionDataset(dcfg, transform, tokenizer, is_training=False)
-    loader = DataLoader(ds, args.batch_size, shuffle=False, drop_last=False,
-                        num_workers=args.workers)
+    loader = DataLoader(ds, batch_size, shuffle=False, drop_last=False,
+                        num_workers=workers)
     v, t = embed_dataset(model, variables, loader,
                          has_mask="DISTILBERT" in model_name)
     sim = v @ t.T
     sim = (sim + 1) / 2  # rescale (reference eval_zeroshot.py:174)
-    _, rel = load_ek100_mir_relevancy(args.metadata)
+    _, rel = load_ek100_mir_relevancy(metadata)
     v_map, t_map, avg_map = M.retrieval_map(sim, rel)
     v_ndcg, t_ndcg, avg_ndcg = M.retrieval_ndcg(sim, rel)
     out = {"mAP_v2t": v_map, "mAP_t2v": t_map, "mAP_avg": avg_map,
@@ -193,7 +215,9 @@ def eval_classification(args, model, variables, tokenizer, model_name,
     mean, std = T.normalization_for_model(model_name)
     crop = crop_shape(model_name)[0]
     transform = T.EvalTransform(crop, mean, std,
-                                num_spatial_crops=args.num_crops)
+                                num_spatial_crops=args.num_crops,
+                                num_temporal_clips=args.num_clips,
+                                frames_per_clip=args.clip_length)
     dcfg = DatasetConfig(dataset=args.dataset, root=args.root,
                          metadata=args.metadata_val or args.metadata,
                          clip_length=args.clip_length,
@@ -289,7 +313,12 @@ def main(args):
     model, variables, tokenizer, model_name = load_model_from_checkpoint(
         args)
     if args.dataset == "ek100_mir":
-        out = eval_ek100_mir(args, model, variables, tokenizer, model_name)
+        out = eval_ek100_mir(
+            model, variables, tokenizer, model_name, root=args.root,
+            metadata=args.metadata, clip_length=args.clip_length,
+            clip_stride=args.clip_stride, batch_size=args.batch_size,
+            workers=args.workers, num_clips=args.num_clips,
+            num_crops=args.num_crops)
     elif args.dataset == "ego4d_mcq":
         out = eval_mcq(args, model, variables, tokenizer, model_name)
     elif args.dataset in ("ek100_cls", "egtea", "charades_ego"):

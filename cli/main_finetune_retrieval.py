@@ -152,14 +152,12 @@ def main(args):
         if (args.metadata_val and args.dataset == "ek100_mir"
                 and (epoch + 1) % args.eval_freq == 0):
             # retrieval validation: similarity matrix → graded mAP/nDCG
-            from types import SimpleNamespace
             from cli.eval_zeroshot import eval_ek100_mir
-            probe_args = SimpleNamespace(
+            eval_ek100_mir(
+                model, {"params": state.params}, tokenizer, model_name,
                 root=args.root, metadata=args.metadata_val,
                 clip_length=args.clip_length, clip_stride=args.clip_stride,
                 batch_size=args.batch_size, workers=args.workers)
-            eval_ek100_mir(probe_args, model, {"params": state.params},
-                           tokenizer, model_name)
         if args.steps and total >= args.steps:
             break
     print("=> done")

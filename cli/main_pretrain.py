@@ -160,14 +160,12 @@ def main(cfg: PretrainConfig):
     def run_probe():
         """Zero-shot EK-100 MIR probe (reference main_pretrain.py:359-379
         per-epoch and --eval-in-middle-freq mid-epoch)."""
-        from types import SimpleNamespace
         from cli.eval_zeroshot import eval_ek100_mir
-        probe_args = SimpleNamespace(
+        return eval_ek100_mir(
+            model, {"params": state.params}, tokenizer, cfg.model,
             root=cfg.val_root or cfg.root, metadata=cfg.val_metadata,
             clip_length=cfg.clip_length, clip_stride=cfg.clip_stride,
             batch_size=cfg.batch_size, workers=cfg.workers)
-        return eval_ek100_mir(probe_args, model, {"params": state.params},
-                              tokenizer, cfg.model)
 
     os.makedirs(cfg.output_dir, exist_ok=True)
     wandb_run = None

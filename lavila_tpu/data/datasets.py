@@ -272,7 +272,13 @@ class VideoMetadataBase:
             return query, options, texts, item["answer"], item["types"]
         if d == "ek100_mir":
             vid_path, start, end, narration, verb, noun = self.samples[i]
-            ids = uniform_frame_ids(start, end, cfg.clip_length,
+            # multi-clip eval: sample num_clips × clip_length frames
+            # uniformly over the span; EvalTransform splits them into
+            # temporal windows (reference eval_zeroshot.py:117-125 applies
+            # TemporalCrop/SpatialCrop to the MIR val path too)
+            n_seg = cfg.clip_length * (
+                1 if self.is_training else max(cfg.num_clips, 1))
+            ids = uniform_frame_ids(start, end, n_seg,
                                     jitter=self.is_training, rng=self.rng)
             frames = video_io.video_loader_by_frames(self.root, vid_path, ids)
             if self.is_training:

@@ -170,22 +170,40 @@ class TrainTransform:
 
 class EvalTransform:
     """Eval pipeline: short-side resize + center crop + normalize
-    (reference main_pretrain.py:274-281). With ``num_spatial_crops=3``
-    returns the 3-crop views stacked on a leading views axis."""
+    (reference main_pretrain.py:274-281). Multi-view test-time protocol
+    (reference eval_zeroshot.py:117-125): with ``num_temporal_clips > 1``
+    the incoming T = num_temporal_clips × frames_per_clip frames are split
+    into sliding windows (reference TemporalCrop), and with
+    ``num_spatial_crops=3`` each window is left/center/right 3-cropped
+    (reference SpatialCrop); all views stack on a leading axis —
+    (views, T, H, W, C) with views = clips × crops."""
 
     def __init__(self, crop_size: int, mean=OPENAI_MEAN, std=OPENAI_STD,
-                 num_spatial_crops: int = 1, resize_size: Optional[int] = None):
+                 num_spatial_crops: int = 1,
+                 resize_size: Optional[int] = None,
+                 num_temporal_clips: int = 1,
+                 frames_per_clip: Optional[int] = None):
         self.crop_size = crop_size
         self.resize_size = resize_size or crop_size
         self.mean, self.std = mean, std
         self.num_spatial_crops = num_spatial_crops
+        self.num_temporal_clips = num_temporal_clips
+        self.frames_per_clip = frames_per_clip
 
     def __call__(self, clip: np.ndarray) -> np.ndarray:
         clip = resize_short_side(clip, self.resize_size)
-        if self.num_spatial_crops == 3:
-            views = uniform_crop_3(clip, self.crop_size)
+        if self.num_temporal_clips > 1:
+            fpc = self.frames_per_clip or (
+                clip.shape[0] // self.num_temporal_clips)
+            windows = temporal_crops(clip, fpc, fpc)
         else:
-            views = [center_crop(clip, self.crop_size)]
+            windows = [clip]
+        views = []
+        for w in windows:
+            if self.num_spatial_crops == 3:
+                views.extend(uniform_crop_3(w, self.crop_size))
+            else:
+                views.append(center_crop(w, self.crop_size))
         views = [normalize(v, self.mean, self.std).astype(np.float32)
                  for v in views]
-        return views[0] if self.num_spatial_crops == 1 else np.stack(views)
+        return views[0] if len(views) == 1 else np.stack(views)

@@ -51,6 +51,34 @@ def test_eval_ek100_mir_cli(ek100_fixture):
         assert 0.0 <= out[k] <= 1.0
 
 
+def test_eval_ek100_mir_cli_multiview(ek100_fixture, monkeypatch):
+    """--num-clips/--num-crops: multi-view MIR protocol
+    (reference eval_zeroshot.py:117-125) — per-view embeddings are
+    mean-pooled, so the similarity matrix keeps its (videos, texts)
+    shape while each view batch is (B, clips*crops, T, H, W, C)."""
+    root, meta = ek100_fixture
+    from cli import eval_zeroshot as ez
+    seen_shapes = []
+    orig = ez.embed_dataset
+
+    def spy(model, variables, loader, has_mask=False):
+        it = iter(loader)
+        first = next(it)
+        seen_shapes.append(np.asarray(first["frames"]).shape)
+        return orig(model, variables, loader, has_mask)
+
+    monkeypatch.setattr(ez, "embed_dataset", spy)
+    args = ez.get_args_parser().parse_args([
+        "--dataset", "ek100_mir", "--root", root, "--metadata", meta,
+        "--model", "CLIP_OPENAI_TIMESFORMER_MINI", "--clip-length", "4",
+        "--num-clips", "2", "--num-crops", "3",
+        "--batch-size", "2", "--workers", "2"])
+    out = ez.main(args)
+    assert seen_shapes[0][1:3] == (6, 4)  # 2 clips x 3 crops, T=4
+    for k in ("mAP_avg", "nDCG_avg"):
+        assert 0.0 <= out[k] <= 1.0
+
+
 @pytest.fixture()
 def mcq_fixture(tmp_path):
     root = tmp_path / "vids"
