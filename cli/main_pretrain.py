@@ -152,8 +152,12 @@ def main(cfg: PretrainConfig):
             model, pad_id=tokenizer.pad_token_id), donate_argnums=(0,))
         metric_names = ["loss", "caption_loss", "caption_acc", "ppl"]
     else:
+        # --contrastive-use-vissl → memory-scalable local loss: each chip
+        # computes only its own B_local × B_global logit rows under
+        # shard_map (reference loss.py:85-100 local_loss semantics)
         step_fn = jax.jit(make_clip_train_step(
-            model, norm_embed=cfg.norm_embed, use_ssl=use_ssl),
+            model, norm_embed=cfg.norm_embed, use_ssl=use_ssl,
+            local_loss_mesh=mesh if cfg.contrastive_use_vissl else None),
             donate_argnums=(0,))
         metric_names = ["loss", "clip_loss", "clip_acc"]
 

@@ -110,6 +110,53 @@ def ssl_clip_loss(image_embed: jax.Array, text_embed: jax.Array,
             "clip_acc_gt": acc_gt, "clip_acc_pseudo": acc_pseudo}
 
 
+def ssl_clip_loss_local(local_image: jax.Array, local_text: jax.Array,
+                        logit_scale: jax.Array,
+                        logit_scale_pseudo: jax.Array,
+                        local_gt_indicators: jax.Array,
+                        axis_name: str = "data") -> dict:
+    """shard_map body of :func:`ssl_clip_loss` — the memory-scalable
+    variant that runs at batch 1024: each device holds (B_local, D) shards
+    and computes only its own B_local × B_global logit rows against
+    globally gathered negatives (reference loss.py:121-217 semantics with
+    open_clip local_loss memory behavior). Metrics match the global
+    formulation exactly (loss AND gradients, see tests)."""
+    idx = jax.lax.axis_index(axis_name)
+    b = local_image.shape[0]
+    all_image = jax.lax.all_gather(local_image, axis_name, tiled=True)
+    all_text = jax.lax.all_gather(local_text, axis_name, tiled=True)
+    ind_l = local_gt_indicators.astype(jnp.float32)
+    ind_g = jax.lax.all_gather(ind_l, axis_name, tiled=True)
+    labels = idx * b + jnp.arange(b)
+
+    mask = ind_l[:, None] + ind_g[None, :]      # (b, n) in {0, 1, 2}
+    scale_mat = jnp.where(
+        mask == 0, logit_scale_pseudo,
+        jnp.where(mask == 2, logit_scale,
+                  jnp.sqrt(logit_scale * logit_scale_pseudo)))
+    logits_i = scale_mat * (local_image.astype(jnp.float32)
+                            @ all_text.astype(jnp.float32).T)
+    logits_t = scale_mat * (local_text.astype(jnp.float32)
+                            @ all_image.astype(jnp.float32).T)
+    loss = 0.5 * (jnp.mean(_xent(logits_i, labels))
+                  + jnp.mean(_xent(logits_t, labels)))
+    loss = jax.lax.pmean(loss, axis_name)
+
+    pred = jnp.argmax(logits_i, axis=-1)
+    correct = (pred == labels).astype(jnp.float32)
+    num_gt = jax.lax.psum(jnp.sum(ind_l), axis_name)
+    num_pseudo = jax.lax.psum(jnp.sum(1.0 - ind_l), axis_name)
+    n_correct = jax.lax.psum(jnp.sum(correct), axis_name)
+    corr_gt = jax.lax.psum(jnp.sum(correct * ind_l), axis_name)
+    corr_pseudo = jax.lax.psum(jnp.sum(correct * (1.0 - ind_l)), axis_name)
+    acc = 100.0 * n_correct / (num_gt + num_pseudo)
+    acc_gt = 100.0 * corr_gt / jnp.maximum(num_gt, 1.0)
+    acc_pseudo = 100.0 * corr_pseudo / jnp.maximum(num_pseudo, 1.0)
+    return {"loss": loss, "clip_loss": loss, "clip_acc": acc,
+            "num_gt": num_gt, "num_pseudo": num_pseudo,
+            "clip_acc_gt": acc_gt, "clip_acc_pseudo": acc_pseudo}
+
+
 def caption_loss(logits: jax.Array, labels: jax.Array,
                  pad_id: int = 0) -> dict:
     """Teacher-forced next-token CE, padded positions masked out;

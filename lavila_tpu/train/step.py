@@ -47,12 +47,40 @@ class TrainState(struct.PyTreeNode):
 
 def make_clip_train_step(model, norm_embed: bool = False,
                          loss_fn: Callable = losses.clip_loss,
-                         use_ssl: bool = False):
+                         use_ssl: bool = False,
+                         local_loss_mesh=None):
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch: dict with 'frames' (B,T,H,W,C), 'text' (B,L) [, 'mask' (B,L)]
     [, 'gt_indicators' (B,) when use_ssl].
+
+    ``local_loss_mesh``: a Mesh with a 'data' axis — the contrastive loss
+    then runs under shard_map with each device computing only its own
+    B_local × B_global logit rows (reference --contrastive-use-vissl /
+    open_clip local_loss semantics, reference loss.py:85-100). Loss and
+    gradients match the global path to numerical precision; only the
+    logits memory footprint changes (B_global²/n per chip instead of
+    B_global²).
     """
+    if local_loss_mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def _local_clip(img, txt, scale):
+            return losses.clip_loss_local(img, txt, scale,
+                                          axis_name="data")
+
+        def _local_ssl(img, txt, scale, scale_pseudo, ind):
+            return losses.ssl_clip_loss_local(img, txt, scale, scale_pseudo,
+                                              ind, axis_name="data")
+
+        shmap_clip = shard_map(
+            _local_clip, mesh=local_loss_mesh,
+            in_specs=(P("data"), P("data"), P()), out_specs=P())
+        shmap_ssl = shard_map(
+            _local_ssl, mesh=local_loss_mesh,
+            in_specs=(P("data"), P("data"), P(), P(), P("data")),
+            out_specs=P())
 
     def compute_loss(packed, batch):
         params = packed["model"]
@@ -63,10 +91,20 @@ def make_clip_train_step(model, norm_embed: bool = False,
                           norm_embed=norm_embed, **kwargs)
         if use_ssl:
             crit = packed["criterion"]
-            metrics = losses.ssl_clip_loss(
-                out["image_embed"], out["text_embed"], out["logit_scale"],
-                jnp.exp(crit["logit_scale_pseudo"]),
-                batch["gt_indicators"])
+            scale_pseudo = jnp.exp(crit["logit_scale_pseudo"])
+            if local_loss_mesh is not None:
+                metrics = shmap_ssl(
+                    out["image_embed"], out["text_embed"],
+                    out["logit_scale"], scale_pseudo,
+                    batch["gt_indicators"])
+            else:
+                metrics = losses.ssl_clip_loss(
+                    out["image_embed"], out["text_embed"],
+                    out["logit_scale"], scale_pseudo,
+                    batch["gt_indicators"])
+        elif local_loss_mesh is not None:
+            metrics = shmap_clip(out["image_embed"], out["text_embed"],
+                                 out["logit_scale"])
         else:
             metrics = loss_fn(out["image_embed"], out["text_embed"],
                               out["logit_scale"])

@@ -106,6 +106,40 @@ def test_ssl_clip_loss_temperature_matrix():
     assert float(out["num_pseudo"]) == 3
 
 
+def test_ssl_clip_loss_local_matches_global_incl_grads():
+    """ssl_clip_loss_local (shard_map, B_local x B_global logit rows) must
+    reproduce the global two-temperature loss exactly, including the
+    gradients through both embeddings and both temperatures."""
+    img, txt = rand_embeds(n=16, d=8, seed=5)
+    ind = jnp.array([1, 0] * 8, jnp.int32)
+    scale, pscale = jnp.float32(10.0), jnp.float32(5.0)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), axis_names=("data",))
+    fn = shard_map(
+        lambda i, t, s, ps, d: losses.ssl_clip_loss_local(i, t, s, ps, d),
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P(), P(), P("data")),
+        out_specs=P())
+
+    want = losses.ssl_clip_loss(img, txt, scale, pscale, ind)
+    got = fn(img, txt, scale, pscale, ind)
+    for k in want:
+        np.testing.assert_allclose(float(got[k]), float(want[k]), rtol=1e-5,
+                                   err_msg=k)
+
+    def g_loss(i, t, s, ps):
+        return losses.ssl_clip_loss(i, t, s, ps, ind)["loss"]
+
+    def l_loss(i, t, s, ps):
+        return fn(i, t, s, ps, ind)["loss"]
+
+    g = jax.grad(g_loss, argnums=(0, 1, 2, 3))(img, txt, scale, pscale)
+    l = jax.grad(l_loss, argnums=(0, 1, 2, 3))(img, txt, scale, pscale)
+    for gg, ll in zip(g, l):
+        np.testing.assert_allclose(np.asarray(ll), np.asarray(gg),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_caption_loss_ignores_padding():
     B, L, V = 2, 5, 11
     rng = np.random.default_rng(0)

@@ -35,6 +35,65 @@ def test_gpt2_tp_sharded_forward_matches_replicated():
                                atol=2e-5, rtol=1e-4)
 
 
+def test_tp_train_step_matches_replicated_step():
+    """Full train step (fwd + bwd + optimizer update) under a (data=4,
+    model=2) TP mesh must match the replicated single-mesh step — the
+    gradient/optimizer-side guarantee the forward-only test can't give.
+    SGD keeps the comparison linear in the grads."""
+    from lavila_tpu.models.dual_encoder import VideoCLIP
+    from lavila_tpu.models.openai_clip import TextTransformer
+    from lavila_tpu.models.timesformer import SpaceTimeTransformer
+    from lavila_tpu.train.optim import make_optimizer
+    from lavila_tpu.train.step import TrainState, make_clip_train_step
+
+    model = VideoCLIP(
+        vision_model=SpaceTimeTransformer(
+            img_size=32, patch_size=16, embed_dim=32, depth=1, num_heads=4,
+            num_frames=2, ln_pre=True, act="quick_gelu"),
+        text_model=TextTransformer(context_length=8, vocab_size=32, width=32,
+                                   heads=4, layers=1, embed_dim=16),
+        vision_width=32, embed_dim=16)
+    rng = np.random.default_rng(0)
+    batch = {
+        "frames": jnp.array(
+            rng.normal(size=(8, 2, 32, 32, 3)).astype(np.float32)),
+        "text": jnp.array(rng.integers(1, 31, size=(8, 8)), jnp.int32),
+    }
+    params = model.init(jax.random.key(0), batch["frames"][:1],
+                        batch["text"][:1])["params"]
+    tx = make_optimizer(1e-2, use_sgd=True, momentum=0.0, weight_decay=0.0)
+    step = jax.jit(make_clip_train_step(model, norm_embed=True))
+
+    # replicated reference run
+    s_ref = TrainState.create(params, tx)
+    s_ref, m_ref = step(s_ref, batch)
+
+    # TP run: params per megatron rules, batch over 'data'
+    mesh = create_mesh(data=4, model=2)
+    s_tp = TrainState.create(params, tx)
+    s_tp = s_tp.replace(
+        params=shard_params(s_tp.params, mesh, rules=param_sharding_rules))
+    batch_tp = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))), batch)
+    s_tp, m_tp = step(s_tp, batch_tp)
+
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    flat_ref = jax.tree_util.tree_flatten_with_path(s_ref.params)[0]
+    flat_tp = {jax.tree_util.keystr(p): l for p, l in
+               jax.tree_util.tree_flatten_with_path(s_tp.params)[0]}
+    for p, l_ref in flat_ref:
+        l_tp = flat_tp[jax.tree_util.keystr(p)]
+        np.testing.assert_allclose(
+            np.asarray(l_tp), np.asarray(l_ref), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(p))
+    # optimizer state must stay sharded like the params (ZeRO-1)
+    n_sharded = sum(1 for l in jax.tree.leaves(s_tp.params)
+                    if hasattr(l, "sharding")
+                    and not l.sharding.is_fully_replicated)
+    assert n_sharded > 0
+
+
 def test_dual_encoder_tp_rules_cover_wide_layers():
     from lavila_tpu.models import build_model
     model = build_model("CLIP_OPENAI_TIMESFORMER_MINI")

@@ -73,6 +73,45 @@ def test_ssl_train_step():
     assert float(m["num_gt"]) == 4
 
 
+def test_local_loss_step_matches_global_step():
+    """--contrastive-use-vissl path: one train step with the shard_map
+    local loss must produce the same params, loss and metrics as the
+    global-logits path (both for plain CLIP and the SSL criterion).
+    SGD keeps the update linear in the grads, so float-reassociation
+    noise between the two matmul partitionings stays at epsilon scale
+    (Adam's m/sqrt(v) would amplify near-zero-grad noise to +-lr)."""
+    mesh = create_mesh(data=8, model=1)
+    for use_ssl in (False, True):
+        model = tiny_model()
+        batch = make_batch(16)
+        if use_ssl:
+            batch["gt_indicators"] = jnp.array([1, 0] * 8, jnp.int32)
+        params = model.init(jax.random.key(0), batch["frames"][:1],
+                            batch["text"][:1])["params"]
+        tx = make_optimizer(1e-2, use_sgd=True, momentum=0.0,
+                            weight_decay=0.0)
+        crit = ({"logit_scale_pseudo": jnp.asarray(np.log(1 / 0.08),
+                                                   jnp.float32)}
+                if use_ssl else None)
+
+        def run(local):
+            state = TrainState.create(params, tx, criterion_params=crit)
+            state = state.replace(params=shard_params(state.params, mesh))
+            step = jax.jit(make_clip_train_step(
+                model, norm_embed=True, use_ssl=use_ssl,
+                local_loss_mesh=mesh if local else None))
+            return step(state, shard_batch(batch, mesh))
+
+        sg, mg = run(local=False)
+        sl, ml = run(local=True)
+        np.testing.assert_allclose(float(ml["loss"]), float(mg["loss"]),
+                                   rtol=1e-5)
+        for pg, pl in zip(jax.tree.leaves(sg.params),
+                          jax.tree.leaves(sl.params)):
+            np.testing.assert_allclose(np.asarray(pl), np.asarray(pg),
+                                       rtol=2e-4, atol=1e-6)
+
+
 def test_wd_mask_excludes_norms_and_scalars():
     model = tiny_model()
     params = model.init(jax.random.key(0),
