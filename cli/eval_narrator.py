@@ -21,7 +21,7 @@ from lavila_tpu.data import transforms as T
 from lavila_tpu.data.datasets import DatasetConfig, VideoCaptionDataset
 from lavila_tpu.data.loader import DataLoader
 from lavila_tpu.data.tokenizers import generate_tokenizer
-from lavila_tpu.eval.nlg import nlg_scores
+from lavila_tpu.eval.nlg import bert_style_normalize, nlg_scores
 from lavila_tpu.models import build_model
 from lavila_tpu.models.beam import BeamDecoder
 
@@ -142,6 +142,24 @@ def main(args):
             refs.append(narration if isinstance(narration, list)
                         else [narration])
         sample_idx += n
+
+    # BERT-tokenizer re-normalization of hyps AND refs before scoring
+    # (reference eval_narrator.py:267-271); exact wordpiece round-trip
+    # when a bert vocab is available, BasicTokenizer normalization else
+    wordpiece = None
+    try:
+        from lavila_tpu.data.tokenizers import WordPieceTokenizer
+        import os
+        assets = os.environ.get("LAVILA_TOKENIZER_DIR", "")
+        for name in ("bert-base-uncased", "distilbert-base-uncased"):
+            vocab = osp.join(assets, name, "vocab.txt")
+            if osp.exists(vocab):
+                wordpiece = WordPieceTokenizer(vocab)
+                break
+    except (FileNotFoundError, OSError, KeyError):
+        wordpiece = None
+    hyps = [bert_style_normalize(h, wordpiece) for h in hyps]
+    refs = [[bert_style_normalize(r, wordpiece) for r in rr] for rr in refs]
 
     out = nlg_scores(hyps, refs)
     out["teacher_ppl"] = float(np.mean(ppls))

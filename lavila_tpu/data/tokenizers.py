@@ -240,6 +240,30 @@ def _is_punct(ch: str) -> bool:
     return unicodedata.category(ch).startswith("P")
 
 
+def bert_basic_tokens(text: str, lowercase: bool = True) -> list[str]:
+    """BERT BasicTokenizer: lowercase + accent-strip + punctuation split +
+    whitespace tokenize. Module-level so NLG normalization can reuse it
+    without a vocab file."""
+    if lowercase:
+        text = _strip_accents(text.lower())
+    out, cur = [], []
+    for ch in text:
+        if ch.isspace():
+            if cur:
+                out.append("".join(cur))
+                cur = []
+        elif _is_punct(ch):
+            if cur:
+                out.append("".join(cur))
+                cur = []
+            out.append(ch)
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
 class WordPieceTokenizer:
     """BERT/DistilBERT (uncased) tokenizer: basic tokenization + greedy
     longest-match WordPiece. Needs a local ``vocab.txt``. Returns
@@ -263,25 +287,7 @@ class WordPieceTokenizer:
         self.eos_token_id = self.sep_id
 
     def _basic_tokens(self, text: str) -> list[str]:
-        if self.lowercase:
-            text = text.lower()
-            text = _strip_accents(text)
-        out, cur = [], []
-        for ch in text:
-            if ch.isspace():
-                if cur:
-                    out.append("".join(cur))
-                    cur = []
-            elif _is_punct(ch):
-                if cur:
-                    out.append("".join(cur))
-                    cur = []
-                out.append(ch)
-            else:
-                cur.append(ch)
-        if cur:
-            out.append("".join(cur))
-        return out
+        return bert_basic_tokens(text, lowercase=self.lowercase)
 
     def _wordpiece(self, word: str) -> list[int]:
         if len(word) > 100:

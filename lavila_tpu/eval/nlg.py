@@ -87,11 +87,23 @@ def rouge_l(hypotheses: list[str], references: list[list[str]],
     return float(np.mean(scores)) if scores else 0.0
 
 
+def _porter_stemmer():
+    try:
+        from nltk.stem.porter import PorterStemmer
+        return PorterStemmer()
+    except Exception:
+        return None
+
+
 def meteor(hypotheses: list[str], references: list[list[str]],
            alpha: float = 0.9, beta_: float = 3.0,
-           gamma: float = 0.5) -> float:
-    """Exact-match METEOR: weighted harmonic mean of unigram P/R with a
-    chunk fragmentation penalty (max over references)."""
+           gamma: float = 0.5, use_stem: bool = True) -> float:
+    """METEOR (original parameters α=0.9 β=3 γ=0.5, like nltk): staged
+    exact-match then Porter-stem unigram alignment, weighted harmonic
+    mean of P/R with the chunk fragmentation penalty (max over refs).
+    The WordNet synonym stage is unavailable offline — see PARITY.md for
+    the measured delta vs the reference's nlg-eval METEOR."""
+    stemmer = _porter_stemmer() if use_stem else None
     scores = []
     for hyp, refs in zip(hypotheses, references):
         h = hyp.split()
@@ -100,22 +112,38 @@ def meteor(hypotheses: list[str], references: list[list[str]],
             r = ref.split()
             if not h or not r:
                 continue
-            # greedy one-to-one alignment in order
+            # stage 1: greedy one-to-one exact alignment in order
             used = [False] * len(r)
+            matched_h = [False] * len(h)
             align = []
             for i, w in enumerate(h):
                 for j, v in enumerate(r):
                     if not used[j] and v == w:
                         used[j] = True
+                        matched_h[i] = True
                         align.append((i, j))
                         break
+            # stage 2: stem-equality on the leftovers
+            if stemmer is not None:
+                hs = [stemmer.stem(w) for w in h]
+                rs = [stemmer.stem(v) for v in r]
+                for i, w in enumerate(hs):
+                    if matched_h[i]:
+                        continue
+                    for j, v in enumerate(rs):
+                        if not used[j] and v == w:
+                            used[j] = True
+                            matched_h[i] = True
+                            align.append((i, j))
+                            break
+            align.sort()
             m = len(align)
             if m == 0:
                 continue
             p = m / len(h)
             rec = m / len(r)
             fmean = p * rec / (alpha * p + (1 - alpha) * rec)
-            # chunks: maximal runs monotone in both sides and contiguous
+            # chunks: maximal runs contiguous on both sides
             chunks = 1
             for (i0, j0), (i1, j1) in zip(align, align[1:]):
                 if not (i1 == i0 + 1 and j1 == j0 + 1):
@@ -175,6 +203,20 @@ def cider(hypotheses: list[str], references: list[list[str]],
             per_n.append(10.0 * s / max(len(refs), 1))
         scores.append(float(np.mean(per_n)))
     return float(np.mean(scores)) if scores else 0.0
+
+
+def bert_style_normalize(text: str, wordpiece=None) -> str:
+    """Reference protocol: hypotheses AND references are re-normalized
+    through a BERT tokenizer encode→decode before scoring
+    (reference eval_narrator.py:267-271). Given a ``WordPieceTokenizer``
+    this is the exact round-trip (OOV words become [UNK]); without a
+    vocab file the BasicTokenizer stage alone (lowercase, accent strip,
+    punctuation split) is applied — identical output for in-vocab
+    English text."""
+    if wordpiece is not None:
+        return wordpiece.decode(wordpiece.encode(text))
+    from lavila_tpu.data.tokenizers import bert_basic_tokens
+    return " ".join(bert_basic_tokens(text))
 
 
 def nlg_scores(hypotheses: list[str], references: list[list[str]]) -> dict:

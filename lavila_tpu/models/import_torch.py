@@ -38,6 +38,44 @@ def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
     return out
 
 
+class _TrackedDict(dict):
+    """State dict that records which keys the importer actually read —
+    the strict=True analogue (reference eval_zeroshot.py:97 loads released
+    checkpoints with strict=True to catch naming drift)."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.consumed: set = set()
+
+    def __getitem__(self, key):
+        self.consumed.add(key)
+        return super().__getitem__(key)
+
+
+# torch buffers with no flax counterpart — never considered "missed"
+_IGNORED_KEY_PARTS = ("num_batches_tracked", "position_ids", "attn_mask",
+                      "masked_bias", ".bias_mask")
+
+
+def unconsumed_keys(sd: "_TrackedDict") -> list[str]:
+    return sorted(
+        k for k in sd
+        if k not in sd.consumed
+        and not any(part in k for part in _IGNORED_KEY_PARTS))
+
+
+def _finish_import(sd: "_TrackedDict", strict: bool, what: str):
+    missed = unconsumed_keys(sd)
+    if not missed:
+        return
+    msg = (f"{what}: {len(missed)} checkpoint key(s) were NOT consumed "
+           f"by the importer (naming drift?): {missed[:8]}"
+           f"{' ...' if len(missed) > 8 else ''}")
+    if strict:
+        raise KeyError(msg)
+    print(f"WARNING: {msg}")
+
+
 def _dense(sd, name) -> dict:
     """torch Linear (out,in) → flax Dense {kernel (in,out), bias}."""
     p = {"kernel": sd[f"{name}.weight"].T}
@@ -340,31 +378,37 @@ def import_video_clip(sd: Mapping[str, np.ndarray],
                       depth: Optional[int] = None,
                       text_layers: Optional[int] = None,
                       num_frames: Optional[int] = None,
-                      load_temporal_fix: str = "bilinear") -> dict:
+                      load_temporal_fix: str = "bilinear",
+                      strict: bool = False) -> dict:
     """Released dual-encoder checkpoint (CLIP text tower variant) →
     VideoCLIP params. Depths are auto-detected from the state dict when
-    not given."""
-    sd = dict(sd)
+    not given. ``strict=True`` raises if any checkpoint key went
+    unconsumed (reference eval_zeroshot.py:97 strict-load analogue);
+    strict=False prints a warning instead."""
+    sd = _TrackedDict(sd)
     depth = depth or count_layers(sd, "visual.blocks.")
     text_layers = text_layers or count_layers(sd, "transformer.resblocks.")
     if num_frames is not None and "visual.temporal_embed" in sd:
         sd["visual.temporal_embed"] = inflate_temporal_embed(
             sd["visual.temporal_embed"], num_frames, load_temporal_fix)
-    return {
+    out = {
         "vision_model": import_timesformer(sd, depth, prefix="visual."),
         "text_model": import_clip_text(sd, text_layers),
         "image_projection": sd["image_projection"],
         "logit_scale": np.asarray(sd["logit_scale"]).reshape(()),
     }
+    _finish_import(sd, strict, "import_video_clip")
+    return out
 
 
 def import_video_clip_hf(sd: Mapping[str, np.ndarray], depth: int,
                          num_frames: Optional[int] = None,
                          load_temporal_fix: str = "bilinear",
-                         projection: str = "default") -> dict:
+                         projection: str = "default",
+                         strict: bool = False) -> dict:
     """Released CLIP_HF (DistilBERT text tower) checkpoint →
-    VideoCLIPHF params."""
-    sd = dict(sd)
+    VideoCLIPHF params. See import_video_clip for ``strict``."""
+    sd = _TrackedDict(sd)
     if num_frames is not None and "visual.temporal_embed" in sd:
         sd["visual.temporal_embed"] = inflate_temporal_embed(
             sd["visual.temporal_embed"], num_frames, load_temporal_fix)
@@ -379,18 +423,21 @@ def import_video_clip_hf(sd: Mapping[str, np.ndarray], depth: int,
     else:
         out["image_projection_fc"] = _dense(sd, "image_projection.0")
         out["text_projection_fc"] = _dense(sd, "text_projection.1")
+    _finish_import(sd, strict, "import_video_clip_hf")
     return out
 
 
 def import_vclm(sd: Mapping[str, np.ndarray], vis_depth: int,
                 gpt2_layers: int, num_frames: Optional[int] = None,
-                load_temporal_fix: str = "bilinear") -> dict:
-    """Released narrator (VCLM_*TIMESFORMER*) checkpoint → VCLM params."""
-    sd = dict(sd)
+                load_temporal_fix: str = "bilinear",
+                strict: bool = False) -> dict:
+    """Released narrator (VCLM_*TIMESFORMER*) checkpoint → VCLM params.
+    See import_video_clip for ``strict``."""
+    sd = _TrackedDict(sd)
     if num_frames is not None and "visual.temporal_embed" in sd:
         sd["visual.temporal_embed"] = inflate_temporal_embed(
             sd["visual.temporal_embed"], num_frames, load_temporal_fix)
-    return {
+    out = {
         "vision_model": import_timesformer(sd, vis_depth, prefix="visual."),
         "text_decoder": import_gpt2(sd, gpt2_layers,
                                     prefix="text_decoder.transformer."),
@@ -405,3 +452,5 @@ def import_vclm(sd: Mapping[str, np.ndarray], vis_depth: int,
         },
         "img_attn_pool_norm": {"scale": sd["img_attn_pool_norm.gamma"]},
     }
+    _finish_import(sd, strict, "import_vclm")
+    return out

@@ -90,13 +90,20 @@ def test_full_dual_encoder_checkpoint_import():
                                    embed_dim=16),
         vision_width=32, embed_dim=16)
     # num_frames=2 model from a 4-frame checkpoint → temporal PE truncated
-    params = imp.import_video_clip(sd, depth=2, text_layers=2, num_frames=2)
+    params = imp.import_video_clip(sd, depth=2, text_layers=2, num_frames=2,
+                                   strict=True)
     frames = jnp.ones((1, 2, 32, 32, 3))
     text = jnp.zeros((1, 16), jnp.int32).at[0, 3].set(63)
     out = model.apply({"params": params}, frames, text, norm_embed=True)
     assert out["image_embed"].shape == (1, 16)
     assert np.isfinite(np.asarray(out["image_embed"])).all()
     assert float(out["logit_scale"]) == pytest.approx(np.exp(2.66), rel=1e-5)
+    # completeness guard: an unknown key (naming drift) must be flagged
+    sd_typo = dict(sd)
+    sd_typo["visual.blocks.0.attn.qkv_TYPO.weight"] = r(96, 32)
+    with pytest.raises(KeyError, match="NOT consumed"):
+        imp.import_video_clip(sd_typo, depth=2, text_layers=2, num_frames=2,
+                              strict=True)
     # importer tree must be shape-compatible with a fresh init
     init = model.init(jax.random.key(0), frames, text)["params"]
     flat_i = jax.tree_util.tree_flatten_with_path(init)[0]
@@ -161,7 +168,8 @@ def test_full_narrator_checkpoint_import():
         text_decoder=GPT2LMHead(cfg),
         vision_width=D, text_width=D, num_img_queries=8, dim_head=8,
         heads=4)
-    params = imp.import_vclm(sd, vis_depth=2, gpt2_layers=2, num_frames=2)
+    params = imp.import_vclm(sd, vis_depth=2, gpt2_layers=2, num_frames=2,
+                             strict=True)
     frames = jnp.ones((1, 2, 32, 32, 3))
     text = jnp.array([[1, 5, 9, 2, 0, 0]])
     out = model.apply({"params": params}, frames, text)

@@ -39,6 +39,38 @@ def test_meteor():
     assert meteor(["xyz"], refs) == 0.0
 
 
+def test_meteor_stem_stage_matches_inflections():
+    # 'cuts' vs 'cutting' only match through the Porter-stem stage
+    refs = [["a person cutting onions"]]
+    with_stem = meteor(["a person cuts onion"], refs, use_stem=True)
+    without = meteor(["a person cuts onion"], refs, use_stem=False)
+    assert with_stem > without
+
+
+def test_bert_style_normalize_basic():
+    from lavila_tpu.eval.nlg import bert_style_normalize
+    # lowercase + punctuation splitting, the reference's BERT-tokenizer
+    # round-trip effect (reference eval_narrator.py:267-271)
+    assert bert_style_normalize("#C C Opens the Drawer.") == \
+        "# c c opens the drawer ."
+    assert bert_style_normalize("Don't stop!") == "don ' t stop !"
+
+
+def test_bert_style_normalize_wordpiece_roundtrip(tmp_path):
+    from lavila_tpu.data.tokenizers import WordPieceTokenizer
+    from lavila_tpu.eval.nlg import bert_style_normalize
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "open", "##s", "the",
+             "drawer", "."]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab) + "\n")
+    tok = WordPieceTokenizer(str(tmp_path / "vocab.txt"))
+    # in-vocab text: wordpiece round-trip == basic normalization
+    assert bert_style_normalize("Opens the drawer.", tok) == \
+        "opens the drawer ."
+    # OOV word becomes [UNK], matching BertTokenizer decode semantics
+    assert bert_style_normalize("opens the fridge.", tok) == \
+        "opens the [UNK] ."
+
+
 def test_cider_ranks_similarity():
     refs = [["a person cuts an onion"], ["a person opens a drawer"]]
     hyps_good = ["a person cuts an onion", "a person opens a drawer"]
