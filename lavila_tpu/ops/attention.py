@@ -43,6 +43,25 @@ def get_attention_backend() -> str:
     return _BACKEND
 
 
+# Sequence parallelism for long clips (num_frames >> 16): when a ring mesh
+# is set, the TEMPORAL phase of divided attention runs ring attention with
+# the frame axis sharded over the given mesh axis
+# (ops/ring_attention.py:divided_time_ring) — no chip holds all frames'
+# keys. Works for any SpaceTimeTransformer forward, no model changes.
+_RING_MESH = None
+
+
+def set_ring_mesh(mesh, axis_name: str = "model") -> None:
+    """Enable (mesh, axis_name) sequence-parallel temporal attention;
+    pass ``None`` to disable."""
+    global _RING_MESH
+    _RING_MESH = None if mesh is None else (mesh, axis_name)
+
+
+def get_ring_mesh():
+    return _RING_MESH
+
+
 def _softmax_f32(scores: jax.Array) -> jax.Array:
     """Softmax with fp32 accumulation, cast back to the input dtype."""
     out = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
@@ -83,6 +102,10 @@ def divided_attention(q: jax.Array, k: jax.Array, v: jax.Array,
       (B, 1 + F*N, H, d). CLS attends over all tokens
       (reference behaviour: lavila/models/timesformer.py:116-137).
     """
+    if axis == "time" and _RING_MESH is not None:
+        from lavila_tpu.ops.ring_attention import divided_time_ring
+        return divided_time_ring(q, k, v, num_frames, *_RING_MESH)
+
     B, L, H, d = q.shape
     F = num_frames
     N = (L - 1) // F
