@@ -35,7 +35,7 @@ _BACKEND = os.environ.get("LAVILA_ATTENTION", "xla")
 
 def set_attention_backend(name: str) -> None:
     global _BACKEND
-    assert name in ("xla", "pallas", "pallas_all"), name
+    assert name in ("xla", "pallas", "pallas_all", "grouped"), name
     _BACKEND = name
 
 
@@ -86,6 +86,48 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
+def _time_attention_unrolled(q: jax.Array, k: jax.Array, v: jax.Array,
+                             F: int, scale: float) -> jax.Array:
+    """Temporal divided attention WITHOUT the grouped relayout.
+
+    The grouped formulation transposes tokens to position-major
+    (B, N, F, H, d) — pure HBM traffic (~36 ms of a 152 ms TSF-B step on
+    v5e) — to run (F × F+1) matmuls too small for the MXU anyway. With
+    F ≤ 8 it is faster to unroll attention over frame pairs as fused
+    VPU elementwise ops in the NATIVE frame-major layout: for each pair
+    (f, g), score[b,n,h] = Σ_d q[b,f,n,h,d]·k[b,g,n,h,d] touches only
+    contiguous (B, N, H·d) slices; no transpose ever hits HBM.
+
+    q/k/v: (B, 1+F·N, H, d) CLS-prefixed, frame-major (raw, unscaled).
+    Returns PATCH outputs (B, F·N, H, d); the CLS row is handled by the
+    caller. Semantics match the grouped path exactly
+    (reference timesformer.py:116-137)."""
+    B, L, H, d = q.shape
+    N = (L - 1) // F
+    f32 = jnp.float32
+
+    def frame(t, f):  # contiguous slice, no relayout
+        return t[:, 1 + f * N: 1 + (f + 1) * N]        # (B, N, H, d)
+
+    cls_k = k[:, :1]                                    # (B, 1, H, d)
+    cls_v = v[:, :1]
+
+    outs = []
+    for f in range(F):
+        qf = frame(q, f)
+        # scores vs every frame g and vs CLS: F+1 fused mul-reduces
+        scores = [jnp.sum(qf.astype(f32) * frame(k, g).astype(f32),
+                          axis=-1) for g in range(F)]
+        scores.append(jnp.sum(qf.astype(f32) * cls_k.astype(f32), axis=-1))
+        s = jnp.stack(scores, axis=-1) * scale          # (B, N, H, F+1)
+        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        out = p[..., F:F + 1] * cls_v                   # CLS value term
+        for g in range(F):
+            out = out + p[..., g:g + 1] * frame(v, g)
+        outs.append(out)
+    return jnp.concatenate(outs, axis=1)                # (B, F*N, H, d)
+
+
 def divided_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                       num_frames: int, axis: str) -> jax.Array:
     """Divided space-time attention over a CLS-prefixed token sequence.
@@ -118,6 +160,11 @@ def divided_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                             preferred_element_type=jnp.float32)
     cls_probs = jax.nn.softmax(cls_scores, axis=-1).astype(q.dtype)
     cls_out = jnp.einsum("bhqk,bkhd->bqhd", cls_probs, v)     # (B, 1, H, d)
+
+    if axis == "time" and F <= 8 and _BACKEND in ("xla", "pallas"):
+        # default temporal path: unrolled VPU formulation, no relayout
+        patches = _time_attention_unrolled(q, k, v, F, scale)
+        return jnp.concatenate([cls_out, patches], axis=1)
 
     if _BACKEND == "pallas_all" and axis == "time" and F <= 16:
         # fused temporal kernel: no HBM relayouts (see ops/pallas/

@@ -41,16 +41,25 @@ def naive_group_attention(q, k, v, F, axis):
     return out
 
 
+@pytest.mark.parametrize("backend", ["xla", "grouped"])
 @pytest.mark.parametrize("axis", ["time", "space"])
-def test_divided_attention_matches_naive(axis):
+def test_divided_attention_matches_naive(axis, backend):
+    # 'xla' uses the unrolled VPU temporal formulation (F<=8, default);
+    # 'grouped' forces the transposed-matmul path — both oracle-checked
+    from lavila_tpu.ops import attention as A
     rng = np.random.default_rng(0)
     B, F, N, H, d = 2, 3, 4, 2, 8
     L = 1 + F * N
     q = rng.normal(size=(B, L, H, d)).astype(np.float32)
     k = rng.normal(size=(B, L, H, d)).astype(np.float32)
     v = rng.normal(size=(B, L, H, d)).astype(np.float32)
-    got = np.asarray(divided_attention(jnp.array(q), jnp.array(k),
-                                       jnp.array(v), F, axis))
+    old = A.get_attention_backend()
+    A.set_attention_backend(backend)
+    try:
+        got = np.asarray(divided_attention(jnp.array(q), jnp.array(k),
+                                           jnp.array(v), F, axis))
+    finally:
+        A.set_attention_backend(old)
     want = naive_group_attention(q, k, v, F, axis)
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
