@@ -11,10 +11,25 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import numpy as np
+
+# --- process-pool worker plumbing -----------------------------------------
+# Each spawned worker unpickles the dataset ONCE (initializer) and serves
+# whole batches per task — one IPC round-trip per batch, not per sample.
+_WORKER_DATASET = None
+
+
+def _proc_init(pickled_dataset):
+    global _WORKER_DATASET
+    import pickle
+    _WORKER_DATASET = pickle.loads(pickled_dataset)
+
+
+def _proc_get_batch(indices):
+    return [_WORKER_DATASET[i] for i in indices]
 
 
 class ShardedSampler:
@@ -75,7 +90,8 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 8, drop_last: bool = True,
                  shard_index: int = 0, num_shards: int = 1, seed: int = 0,
-                 prefetch: int = 2, with_indices: bool = False):
+                 prefetch: int = 2, with_indices: bool = False,
+                 worker_type: str = "thread"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = ShardedSampler(len(dataset), shard_index, num_shards,
@@ -83,6 +99,14 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # 'thread' (default): decode/BLAS release the GIL, cheapest.
+        # 'process': spawn workers that hold their own dataset copy —
+        # sidesteps the GIL entirely for per-sample Python/transform work
+        # when one host must feed many chips (v5e-8+). One IPC round-trip
+        # per batch.
+        assert worker_type in ("thread", "process"), worker_type
+        self.worker_type = worker_type
+        self._proc_pool = None
         # with_indices=True adds batch['index'] = the global dataset indices
         # of this batch, so consumers never re-derive sample identity by
         # re-iterating the sampler (which silently desynchronizes if
@@ -91,6 +115,21 @@ class DataLoader:
 
     def set_epoch(self, epoch: int):
         self.sampler.set_epoch(epoch)
+
+    def _get_proc_pool(self):
+        if self._proc_pool is None:
+            import multiprocessing
+            import pickle
+            self._proc_pool = ProcessPoolExecutor(
+                self.num_workers,
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_proc_init,
+                initargs=(pickle.dumps(self.dataset),))
+        return self._proc_pool
+
+    def __del__(self):  # pragma: no cover
+        if self._proc_pool is not None:
+            self._proc_pool.shutdown(wait=False, cancel_futures=True)
 
     def __len__(self):
         per_shard = len(self.sampler)
@@ -125,22 +164,46 @@ class DataLoader:
                     continue
             return False
 
+        def produce_threads():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                # batch-granularity pipeline; samples fetch in parallel
+                pending = []
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    pending.append(
+                        (b, pool.map(self.dataset.__getitem__, b)))
+                    while len(pending) > self.prefetch:
+                        if not put(make_batch(*pending.pop(0))):
+                            return
+                for b, fut in pending:
+                    if not put(make_batch(b, fut)):
+                        return
+
+        def produce_processes():
+            pool = self._get_proc_pool()
+            in_flight = max(self.prefetch, self.num_workers)
+            pending = []
+            for b in batches:
+                if stop.is_set():
+                    return
+                pending.append((b, pool.submit(_proc_get_batch, b)))
+                while len(pending) > in_flight:
+                    bb, fut = pending.pop(0)
+                    if not put(make_batch(bb, fut.result())):
+                        return
+            for bb, fut in pending:
+                if stop.is_set():
+                    return
+                if not put(make_batch(bb, fut.result())):
+                    return
+
         def produce():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
-                    # batch-granularity pipeline; samples fetch in parallel
-                    pending = []
-                    for b in batches:
-                        if stop.is_set():
-                            return
-                        pending.append(
-                            (b, pool.map(self.dataset.__getitem__, b)))
-                        while len(pending) > self.prefetch:
-                            if not put(make_batch(*pending.pop(0))):
-                                return
-                    for b, fut in pending:
-                        if not put(make_batch(b, fut)):
-                            return
+                if self.worker_type == "process":
+                    produce_processes()
+                else:
+                    produce_threads()
             finally:
                 put(None)
                 stop.set()  # unblock nothing-left states; marks completion

@@ -26,16 +26,17 @@ import os
 import jax
 import jax.numpy as jnp
 
-# 'xla' (default), 'pallas' (fused flash kernel for the spatial phase —
-# the measured win), or 'pallas_all' (+ the fused temporal kernel, which
-# currently matches but does not beat the XLA path on v5e). Set
+# 'xla' (default; unrolled VPU temporal path + grouped-matmul spatial),
+# 'pallas' (fused divided-phase kernels for BOTH phases — the production
+# TPU path, see ops/pallas/divided.py), or 'grouped' (force the
+# transposed-matmul formulation everywhere; oracle/testing). Set
 # LAVILA_ATTENTION or call set_attention_backend().
 _BACKEND = os.environ.get("LAVILA_ATTENTION", "xla")
 
 
 def set_attention_backend(name: str) -> None:
     global _BACKEND
-    assert name in ("xla", "pallas", "pallas_all", "grouped"), name
+    assert name in ("xla", "pallas", "grouped"), name
     _BACKEND = name
 
 
@@ -161,21 +162,24 @@ def divided_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     cls_probs = jax.nn.softmax(cls_scores, axis=-1).astype(q.dtype)
     cls_out = jnp.einsum("bhqk,bkhd->bqhd", cls_probs, v)     # (B, 1, H, d)
 
-    if axis == "time" and F <= 8 and _BACKEND in ("xla", "pallas"):
-        # default temporal path: unrolled VPU formulation, no relayout
-        patches = _time_attention_unrolled(q, k, v, F, scale)
+    if _BACKEND == "pallas":
+        # fused divided-phase kernel: the whole phase (scores, softmax,
+        # PV, CLS key folded in) computed per block in VMEM from the
+        # token-major layout — no grouped relayout, no CLS concat, no
+        # fp32 score temps in HBM (ops/pallas/divided.py). The CLS row
+        # (global attention) is the XLA einsum above.
+        from lavila_tpu.ops.pallas.divided import divided_phase
+        D = H * d
+        patches = divided_phase(
+            q[:, 1:].reshape(B, F, N, D), k[:, 1:].reshape(B, F, N, D),
+            v[:, 1:].reshape(B, F, N, D), k[:, 0].reshape(B, D),
+            v[:, 0].reshape(B, D), axis, H, scale)
+        patches = patches.reshape(B, F * N, H, d)
         return jnp.concatenate([cls_out, patches], axis=1)
 
-    if _BACKEND == "pallas_all" and axis == "time" and F <= 16:
-        # fused temporal kernel: no HBM relayouts (see ops/pallas/
-        # time_attention.py); CLS query handled above
-        from lavila_tpu.ops.pallas.time_attention import time_attention
-        patches = time_attention(
-            q[:, 1:].reshape(B, F, N, H, d),
-            k[:, 1:].reshape(B, F, N, H, d),
-            v[:, 1:].reshape(B, F, N, H, d),
-            k[:, 0], v[:, 0], F, scale)
-        patches = patches.reshape(B, F * N, H, d)
+    if axis == "time" and F <= 8 and _BACKEND == "xla":
+        # default temporal path: unrolled VPU formulation, no relayout
+        patches = _time_attention_unrolled(q, k, v, F, scale)
         return jnp.concatenate([cls_out, patches], axis=1)
 
     # --- patch tokens: grouped attention with CLS k/v prepended ----------
@@ -196,20 +200,11 @@ def divided_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     kg = jnp.concatenate([cls_k, kg], axis=2)  # (B, G, 1+S, H, d)
     vg = jnp.concatenate([cls_v, vg], axis=2)
 
-    if _BACKEND in ("pallas", "pallas_all") and axis == "space" and S >= 64:
-        from lavila_tpu.ops.pallas.flash_attention import fused_attention
-        out = fused_attention(
-            qg.reshape(B * G, S, H, d).transpose(0, 2, 1, 3),
-            kg.reshape(B * G, S + 1, H, d).transpose(0, 2, 1, 3),
-            vg.reshape(B * G, S + 1, H, d).transpose(0, 2, 1, 3),
-            False, 1.0)  # qg is pre-scaled
-        out = out.transpose(0, 2, 1, 3).reshape(B, G, S, H, d)
-    else:
-        scores = jnp.einsum("bgqhd,bgkhd->bhgqk", qg, kg,
-                            preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhgqk,bgkhd->bgqhd", probs,
-                         vg)                       # (B, G, S, H, d)
+    scores = jnp.einsum("bgqhd,bgkhd->bhgqk", qg, kg,
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhgqk,bgkhd->bgqhd", probs,
+                     vg)                           # (B, G, S, H, d)
 
     if axis == "time":
         out = out.transpose(0, 2, 1, 3, 4)  # back to (B, F, N, H, d)

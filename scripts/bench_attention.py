@@ -120,12 +120,10 @@ def main():
         out = fused_attention(qq, kk, vv, False, None)
         return out.transpose(0, 2, 1, 3).reshape(B_, F * N_, H_, d_)
 
-    variants["time/grouped"] = grouped("time")
     variants["time/unrolled"] = backend("xla", "time")
-    variants["time/scores-only"] = time_scores_only
+    variants["time/fused-phase"] = backend("pallas", "time")
     variants["space/grouped-xla"] = grouped("space")
-    variants["space/pallas-flash"] = backend("pallas", "space")
-    variants["space/flash+transp"] = flash_direct
+    variants["space/fused-phase"] = backend("pallas", "space")
 
     for name, fn in variants.items():
         run = make_bench(fn)

@@ -187,6 +187,31 @@ def test_loader_with_indices_yields_global_ids():
     assert sorted(seen.tolist()) == list(range(1, len(ds), 2))
 
 
+def test_loader_process_workers(tmp_path):
+    """worker_type='process': spawned workers unpickle the dataset (incl.
+    the native decoder, reopened per process) and serve whole batches."""
+    from lavila_tpu.data.video import encode_test_video
+    vdir = tmp_path / "vid001.mp4"
+    vdir.mkdir()
+    encode_test_video(str(vdir / "0.mp4"), 64, 64, 30, 120)
+    with open(tmp_path / "meta.pkl", "wb") as f:
+        pickle.dump([("vid001", 0.2, 2.5, f"narr {i}") for i in range(8)],
+                    f)
+    cfg = DatasetConfig(dataset="ego4d", root=str(tmp_path),
+                        metadata=str(tmp_path / "meta.pkl"), clip_length=2)
+    ds = VideoCaptionDataset(cfg, transform=T.TrainTransform(32),
+                             tokenizer=ClipBpeTokenizer(), seed=0)
+    loader = DataLoader(ds, batch_size=4, num_workers=2, shuffle=False,
+                        worker_type="process", with_indices=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["frames"].shape == (4, 2, 32, 32, 3)
+    assert sorted(np.concatenate([b["index"] for b in batches]).tolist()) \
+        == list(range(8))
+    # pool is reused across epochs
+    assert len(list(loader)) == 2
+
+
 def test_sharded_sampler_disjoint_and_complete():
     s0 = ShardedSampler(100, 0, 4, shuffle=True, seed=1)
     s1 = ShardedSampler(100, 1, 4, shuffle=True, seed=1)

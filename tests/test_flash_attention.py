@@ -101,48 +101,57 @@ def test_fused_attention_causal_grads():
         np.asarray(jax.grad(loss_ref)(q)), atol=5e-4, rtol=1e-3)
 
 
-def test_time_attention_kernel_matches_reference():
-    """Fused temporal kernel vs the grouped einsum path (interpret)."""
-    from lavila_tpu.ops.pallas.time_attention import time_attention
-    from lavila_tpu.ops.attention import divided_attention
+@pytest.mark.parametrize("axis", ["time", "space"])
+def test_divided_phase_kernel_matches_grouped(axis):
+    """Fused divided-phase kernel (token-major, CLS folded in) vs the
+    grouped einsum oracle, fwd + grads incl. the CLS k/v rows
+    (interpret mode)."""
+    from lavila_tpu.ops import attention as A
+    from lavila_tpu.ops.pallas.divided import divided_phase
     rng = np.random.default_rng(5)
-    B, F, N, H, d = 2, 4, 70, 3, 16
+    B, F, N, H, dh = 2, 4, 24, 3, 16
+    D = H * dh
     L = 1 + F * N
-    q = jnp.asarray(rng.normal(size=(B, L, H, d)), jnp.float32)
-    k = jnp.asarray(rng.normal(size=(B, L, H, d)), jnp.float32)
-    v = jnp.asarray(rng.normal(size=(B, L, H, d)), jnp.float32)
-    want = divided_attention(q, k, v, F, "time")[:, 1:]
-    got = time_attention(
-        q[:, 1:].reshape(B, F, N, H, d), k[:, 1:].reshape(B, F, N, H, d),
-        v[:, 1:].reshape(B, F, N, H, d),
-        k[:, 0], v[:, 0], F, None, True).reshape(B, F * N, H, d)
+    scale = dh ** -0.5
+    q = jnp.asarray(rng.normal(size=(B, L, H, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, L, H, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, H, dh)), jnp.float32)
+
+    old = A.get_attention_backend()
+    A.set_attention_backend("grouped")
+    try:
+        want = A.divided_attention(q, k, v, F, axis)[:, 1:]
+
+        def loss_ref(q, k, v):
+            out = A.divided_attention(q, k, v, F, axis)[:, 1:]
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        A.set_attention_backend(old)
+
+    def kern(q, k, v):
+        return divided_phase(
+            q[:, 1:].reshape(B, F, N, D), k[:, 1:].reshape(B, F, N, D),
+            v[:, 1:].reshape(B, F, N, D), k[:, 0].reshape(B, D),
+            v[:, 0].reshape(B, D), axis, H, scale, True)
+
+    got = kern(q, k, v).reshape(B, F * N, H, dh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
 
+    def loss_kern(q, k, v):
+        return jnp.sum(kern(q, k, v).astype(jnp.float32) ** 2)
 
-def test_time_attention_kernel_grads():
-    from lavila_tpu.ops.pallas.time_attention import time_attention
-    from lavila_tpu.ops.attention import divided_attention
-    rng = np.random.default_rng(6)
-    B, F, N, H, d = 1, 3, 40, 2, 8
-    L = 1 + F * N
-    q = jnp.asarray(rng.normal(size=(B, L, H, d)), jnp.float32)
-    k = jnp.asarray(rng.normal(size=(B, L, H, d)), jnp.float32)
-    v = jnp.asarray(rng.normal(size=(B, L, H, d)), jnp.float32)
-
-    def loss_kernel(q, k, v):
-        out = time_attention(
-            q[:, 1:].reshape(B, F, N, H, d),
-            k[:, 1:].reshape(B, F, N, H, d),
-            v[:, 1:].reshape(B, F, N, H, d),
-            k[:, 0], v[:, 0], F, None, True)
-        return jnp.sum(out ** 2)
-
-    def loss_ref(q, k, v):
-        return jnp.sum(divided_attention(q, k, v, F, "time")[:, 1:] ** 2)
-
-    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
-    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gk = jax.grad(loss_kern, argnums=(0, 1, 2))(q, k, v)
     for a, b, name in zip(gk, gr, "qkv"):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+        # patch rows always; CLS rows for k/v (the kernel loss has no
+        # CLS-query term, so dq[:, 0] differs by construction)
+        np.testing.assert_allclose(np.asarray(a)[:, 1:],
+                                   np.asarray(b)[:, 1:],
                                    atol=5e-4, rtol=1e-3, err_msg=name)
+        if name != "q":
+            np.testing.assert_allclose(np.asarray(a)[:, 0],
+                                       np.asarray(b)[:, 0],
+                                       atol=5e-4, rtol=1e-3,
+                                       err_msg=name + "_cls")
