@@ -162,12 +162,17 @@ def divided_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     cls_probs = jax.nn.softmax(cls_scores, axis=-1).astype(q.dtype)
     cls_out = jnp.einsum("bhqk,bkhd->bqhd", cls_probs, v)     # (B, 1, H, d)
 
-    if _BACKEND == "pallas":
+    if _BACKEND == "pallas" and (axis == "space" or F > 8):
         # fused divided-phase kernel: the whole phase (scores, softmax,
         # PV, CLS key folded in) computed per block in VMEM from the
         # token-major layout — no grouped relayout, no CLS concat, no
         # fp32 score temps in HBM (ops/pallas/divided.py). The CLS row
-        # (global attention) is the XLA einsum above.
+        # (global attention) is the XLA einsum above. The TEMPORAL phase
+        # at F <= 8 instead uses the unrolled VPU path below: measured on
+        # v5e it beats the fused kernel (3.3 vs 4.7 ms/block fwd+bwd) —
+        # both stream the same HBM bytes, and XLA's fusion of the
+        # elementwise score/PV ops is tighter than Mosaic's lane-sliced
+        # per-head loop.
         from lavila_tpu.ops.pallas.divided import divided_phase
         D = H * d
         patches = divided_phase(
@@ -177,7 +182,7 @@ def divided_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         patches = patches.reshape(B, F * N, H, d)
         return jnp.concatenate([cls_out, patches], axis=1)
 
-    if axis == "time" and F <= 8 and _BACKEND == "xla":
+    if axis == "time" and F <= 8 and _BACKEND in ("xla", "pallas"):
         # default temporal path: unrolled VPU formulation, no relayout
         patches = _time_attention_unrolled(q, k, v, F, scale)
         return jnp.concatenate([cls_out, patches], axis=1)

@@ -21,7 +21,7 @@ measured on v5e they cost ~86 ms of a 153 ms TSF-B step (batch 16) for
     kernel pass per phase. Scores never hit HBM in either direction.
 
 Spatial phase: one grid step per (batch, frame), groups of N+1 keys on
-the MXU. Temporal phase: one grid step per batch element, F·(F+1) score
+the MXU. Temporal phase: one grid step per (batch, N-slab), F·(F+1) score
 planes as VPU mul-reduces (F ≤ 8 makes MXU matmuls pointless here).
 """
 
@@ -55,9 +55,10 @@ def _space_fwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref, lse_ref,
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # (N, N)
-        s_cls = jax.lax.dot_general(
-            qh, ckh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # (N, 1)
+        # CLS column as a VPU mul-reduce: Mosaic can't lower a dot with a
+        # 1-row operand (vector.broadcast elt-type verify failure).
+        s_cls = jnp.sum(qh.astype(jnp.float32) * ckh.astype(jnp.float32),
+                        axis=-1, keepdims=True) * scale   # (N, 1)
         m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_cls)
         p = jnp.exp(s - m)
         p_cls = jnp.exp(s_cls - m)
@@ -95,9 +96,8 @@ def _space_bwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref, lse_ref,
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        s_cls = jax.lax.dot_general(
-            qh, ck_ref[0, :, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+        s_cls = jnp.sum(qh.astype(jnp.float32) * ckh, axis=-1,
+                        keepdims=True) * scale
         p = jnp.exp(s - lse)                               # (N, N)
         p_cls = jnp.exp(s_cls - lse)                       # (N, 1)
 
@@ -129,7 +129,7 @@ def _space_bwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref, lse_ref,
 
 
 # ==========================================================================
-# temporal phase: grid (B,); block = all (F, N, D) tokens of one clip.
+# temporal phase: grid (B, N/Nb); block = an (F, Nb, D) slab of one clip.
 # F is tiny, so scores are VPU mul-reduces — no matmuls, no relayout.
 # ==========================================================================
 
@@ -169,14 +169,22 @@ def _time_fwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref, lse_ref,
 
 def _time_bwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref, lse_ref,
                      delta_ref, dq_ref, dk_ref, dv_ref, dck_ref, dcv_ref,
-                     *, heads: int, num_frames: int, scale: float):
+                     *, heads: int, num_frames: int, num_tokens: int,
+                     scale: float):
     F = num_frames
-    b = pl.program_id(0)
+    n = pl.program_id(1)  # grid (B, ⌈N/Nb⌉): dck/dcv accumulate over n-steps
 
-    @pl.when(b >= 0)  # every block owns its dck/dcv slice (grid is (B,))
+    @pl.when(n == 0)
     def _init():
         dck_ref[...] = jnp.zeros_like(dck_ref)
         dcv_ref[...] = jnp.zeros_like(dcv_ref)
+
+    # Edge blocks are padded past num_tokens with unspecified values; rows
+    # beyond the true N must not contribute to the dck/dcv reductions
+    # (dq/dk/dv writes in the padded region are simply discarded).
+    Nb = q_ref.shape[2]
+    row = n * Nb + jax.lax.broadcasted_iota(jnp.int32, (1, Nb, 1), 1)
+    valid = row < num_tokens                              # (1, Nb, 1)
 
     dh = q_ref.shape[-1] // heads
     for h in range(heads):
@@ -214,9 +222,10 @@ def _time_bwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref, lse_ref,
             dv = jnp.sum(p[:, :, g:g + 1] * doh, axis=0)
             dk_ref[0, g, :, sl] = dk.astype(dk_ref.dtype)
             dv_ref[0, g, :, sl] = dv.astype(dv_ref.dtype)
-        dck = jnp.sum(ds[:, :, F:F + 1] * q32, axis=(0, 1),
-                      keepdims=False) * scale             # (dh,)
-        dcv = jnp.sum(p[:, :, F:F + 1] * doh, axis=(0, 1), keepdims=False)
+        dck = jnp.sum(jnp.where(valid, ds[:, :, F:F + 1] * q32, 0.0),
+                      axis=(0, 1), keepdims=False) * scale  # (dh,)
+        dcv = jnp.sum(jnp.where(valid, p[:, :, F:F + 1] * doh, 0.0),
+                      axis=(0, 1), keepdims=False)
         dck_ref[0, :, sl] += dck[None].astype(dck_ref.dtype)
         dcv_ref[0, :, sl] += dcv[None].astype(dcv_ref.dtype)
 
@@ -236,14 +245,29 @@ def _space_specs(B, F, N, D, H):
     return tok, cls, lse
 
 
-def _time_specs(B, F, N, D, H):
-    tok = pl.BlockSpec((1, F, N, D), lambda b: (b, 0, 0, 0),
+def _time_nblock(N, cap):
+    """Patch-dim tile for the temporal grid.
+
+    Temporal attention is independent per patch position, so the grid can
+    tile N freely; small blocks keep the kernel's per-head fp32
+    temporaries inside the 16 MB scoped-VMEM budget (a whole-N block OOMs
+    at N=196, D=768, H=12; measured caps on v5e: fwd fits at 64, the bwd
+    at 48 — 56 overflows by 3.6M). Pallas TPU requires the sublane block
+    dim be a multiple of 8 (or the full dim), so edge blocks are padded;
+    the backward kernel masks padded rows out of its dck/dcv reductions.
+    """
+    return N if N <= cap else cap
+
+
+def _time_specs(B, F, N, D, H, cap=64):
+    Nb = _time_nblock(N, cap)
+    tok = pl.BlockSpec((1, F, Nb, D), lambda b, n: (b, 0, n, 0),
                        memory_space=pltpu.VMEM)
-    cls = pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0),
+    cls = pl.BlockSpec((1, 1, D), lambda b, n: (b, 0, 0),
                        memory_space=pltpu.VMEM)
-    lse = pl.BlockSpec((1, F, N, H), lambda b: (b, 0, 0, 0),
+    lse = pl.BlockSpec((1, F, Nb, H), lambda b, n: (b, 0, n, 0),
                        memory_space=pltpu.VMEM)
-    return tok, cls, lse
+    return tok, cls, lse, (B, pl.cdiv(N, Nb))
 
 
 def _phase_fwd(qp, kp, vp, ck, cv, axis, heads, scale, interpret):
@@ -254,8 +278,7 @@ def _phase_fwd(qp, kp, vp, ck, cv, axis, heads, scale, interpret):
         kernel = functools.partial(_space_fwd_kernel, heads=heads,
                                    scale=scale)
     else:
-        tok, cls, lse_spec = _time_specs(B, F, N, D, heads)
-        grid = (B,)
+        tok, cls, lse_spec, grid = _time_specs(B, F, N, D, heads)
         kernel = functools.partial(_time_fwd_kernel, heads=heads,
                                    num_frames=F, scale=scale)
     out, lse = pl.pallas_call(
@@ -287,11 +310,10 @@ def _phase_bwd(qp, kp, vp, ck, cv, do, lse, out, axis, heads, scale,
         sem = ("parallel", "arbitrary")
         dcls_shape = (B, 1, D)
     else:
-        tok, cls, lse_spec = _time_specs(B, F, N, D, heads)
-        grid = (B,)
+        tok, cls, lse_spec, grid = _time_specs(B, F, N, D, heads, cap=48)
         kernel = functools.partial(_time_bwd_kernel, heads=heads,
-                                   num_frames=F, scale=scale)
-        sem = ("parallel",)
+                                   num_frames=F, num_tokens=N, scale=scale)
+        sem = ("parallel", "arbitrary")
         dcls_shape = (B, 1, D)
     dq, dk, dv, dck, dcv = pl.pallas_call(
         kernel,
