@@ -85,7 +85,15 @@ def main(cfg: PretrainConfig):
     train_transform = T.TrainTransform(crop, mean, std)
 
     dataset = build_dataset(cfg, tokenizer, train_transform)
-    loader = DataLoader(dataset, cfg.batch_size, shuffle=True,
+    # --batch-size is the GLOBAL batch (it must tile the data mesh axis,
+    # checked above); each host's loader yields its 1/process_count slice
+    # and shard_batch() assembles the global array from the local pieces.
+    if cfg.batch_size % jax.process_count() != 0:
+        raise ValueError(
+            f"--batch-size {cfg.batch_size} must be divisible by the "
+            f"process count {jax.process_count()}")
+    local_bs = cfg.batch_size // jax.process_count()
+    loader = DataLoader(dataset, local_bs, shuffle=True,
                         num_workers=cfg.workers, drop_last=True,
                         shard_index=jax.process_index(),
                         num_shards=jax.process_count(), seed=cfg.seed)
@@ -247,15 +255,17 @@ def main(cfg: PretrainConfig):
         is_best = False
         if probe_metrics.get("mAP_avg", float("-inf")) > best_metric:
             is_best, best_metric = True, probe_metrics["mAP_avg"]
+        # ALL processes enter the save: orbax coordinates multi-host
+        # writes internally (primary writes replicated leaves, each host
+        # writes its addressable shards) and its save barrier would
+        # deadlock a pod if only process 0 called it.
+        tree = {"params": state.params, "opt_state": state.opt_state,
+                "criterion_params": state.criterion_params or {}}
+        mgr.save(tree, epoch=epoch, config=cfg.asdict(),
+                 metrics={**probe_metrics, "best_metric": best_metric},
+                 is_best=is_best,
+                 keep_epoch=(epoch + 1) % cfg.save_freq == 0)
         if jax.process_index() == 0:
-            tree = {"params": jax.device_get(state.params),
-                    "opt_state": jax.device_get(state.opt_state),
-                    "criterion_params": jax.device_get(
-                        state.criterion_params) or {}}
-            mgr.save(tree, epoch=epoch, config=cfg.asdict(),
-                     metrics={**probe_metrics, "best_metric": best_metric},
-                     is_best=is_best,
-                     keep_epoch=(epoch + 1) % cfg.save_freq == 0)
             log = {f"train_{k}": m.avg for k, m in meters.items()}
             log.update(probe_metrics)
             log["epoch"] = epoch

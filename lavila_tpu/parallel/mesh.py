@@ -73,6 +73,16 @@ def shard_params(params, mesh: Mesh, rules=None):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device_put a host batch with the leading dim over 'data'."""
+    """Place a host batch on the mesh with the leading dim over 'data'.
+
+    Single-process: a plain sharded ``device_put``. Multi-process (pod):
+    each host passes only its OWN loader shard (global_batch /
+    process_count rows) and the global array is assembled from the
+    process-local pieces — the JAX analogue of the reference's per-rank
+    DistributedSampler batches (reference main_pretrain.py:229-235)."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)

@@ -32,6 +32,13 @@ import orbax.checkpoint as ocp
 _EPOCH_DIR = re.compile(r"^checkpoint_(\d{4})$")
 
 
+def _barrier(name: str) -> None:
+    """Global process barrier; no-op single-process."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+
+
 def _link_tree(src: str, dst: str) -> None:
     """Duplicate an orbax checkpoint dir via hard links (O(1) data copies;
     the files are immutable once written). Falls back to a real copy on
@@ -69,22 +76,32 @@ class CheckpointManager:
         meta = {"epoch": epoch, "config": config or {},
                 "metrics": metrics or {}}
         primary = self._path(f"{epoch:04d}")
-        if osp.exists(primary):
+        # Multi-host: every process enters self._ckpt.save (orbax
+        # coordinates primary-writes + per-host shard writes and has its
+        # own internal barrier); the surrounding filesystem bookkeeping
+        # (rmtree / sidecar / hard links / pruning) is process-0 only,
+        # fenced by global barriers so no host races past a half-written
+        # checkpoint into e.g. an auto-resume.
+        is_primary = jax.process_index() == 0
+        if is_primary and osp.exists(primary):
             shutil.rmtree(primary)
+        _barrier("ckpt_pre_save")
         self._ckpt.save(primary, tree)
         self._ckpt.wait_until_finished()
-        with open(primary + ".json", "w") as f:
-            json.dump(meta, f)
-        for tag in ["latest"] + (["best"] if is_best else []):
-            path = self._path(tag)
-            if osp.exists(path):
-                shutil.rmtree(path)
-            _link_tree(primary, path)
-            shutil.copyfile(primary + ".json", path + ".json")
-        if not keep_epoch:
-            shutil.rmtree(primary, ignore_errors=True)
-            os.remove(primary + ".json")
-        self._prune()
+        if is_primary:
+            with open(primary + ".json", "w") as f:
+                json.dump(meta, f)
+            for tag in ["latest"] + (["best"] if is_best else []):
+                path = self._path(tag)
+                if osp.exists(path):
+                    shutil.rmtree(path)
+                _link_tree(primary, path)
+                shutil.copyfile(primary + ".json", path + ".json")
+            if not keep_epoch:
+                shutil.rmtree(primary, ignore_errors=True)
+                os.remove(primary + ".json")
+            self._prune()
+        _barrier("ckpt_post_save")
 
     def _prune(self):
         """Keep only the newest ``max_to_keep`` epoch-tagged checkpoints
