@@ -31,11 +31,20 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from lavila_tpu.ops.attention import divided_attention
+from lavila_tpu.ops.attention import divided_attention_split
 from lavila_tpu.ops.basic import (ACTIVATIONS, LayerNorm, Mlp, drop_path,
                                   trunc_normal_init)
 
 Dtype = Any
+
+# The tower carries the token sequence CLS-SEPARATE: a (cls (B, 1, D),
+# patches (B, F, N, D)) pair instead of one (B, 1+F·N, D) tensor. The
+# Pallas phase kernels consume the patch tensor's natural layout
+# directly, so no x[:, 1:] slice or CLS concatenate is ever materialized
+# around them (each such copy pair measured ~1 ms/block fwd+bwd on v5e —
+# XLA cannot fuse copies into a custom call). Parameter shapes and names
+# are identical to the joint layout; dense/LN modules are created once
+# and applied to both halves.
 
 
 class DividedAttentionBlock(nn.Module):
@@ -48,8 +57,9 @@ class DividedAttentionBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, num_frames: int, axis: str) -> jax.Array:
-        B, L, D = x.shape
+    def __call__(self, cls: jax.Array, patches: jax.Array,
+                 axis: str) -> tuple:
+        B, F, N, D = patches.shape
         H = self.num_heads
         d = D // H
         if self.zero_init:
@@ -59,15 +69,17 @@ class DividedAttentionBlock(nn.Module):
             kernel_init = nn.initializers.lecun_normal()
             proj_init = nn.initializers.lecun_normal()
         qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype,
-                       kernel_init=kernel_init, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, L, H, d)
-        k = k.reshape(B, L, H, d)
-        v = v.reshape(B, L, H, d)
-        out = divided_attention(q, k, v, num_frames, axis)
-        out = out.reshape(B, L, D)
-        return nn.Dense(D, dtype=self.dtype, kernel_init=proj_init,
-                        name="proj")(out)
+                       kernel_init=kernel_init, name="qkv")
+        qc, kc, vc = (t.reshape(B, 1, H, d)
+                      for t in jnp.split(qkv(cls), 3, axis=-1))
+        qp, kp, vp = (t.reshape(B, F, N, H, d)
+                      for t in jnp.split(qkv(patches), 3, axis=-1))
+        cls_out, p_out = divided_attention_split(qc, kc, vc, qp, kp, vp,
+                                                 axis)
+        proj = nn.Dense(D, dtype=self.dtype, kernel_init=proj_init,
+                        name="proj")
+        return proj(cls_out.reshape(B, 1, D)), proj(p_out.reshape(B, F, N,
+                                                                   D))
 
 
 class SpaceTimeBlock(nn.Module):
@@ -81,37 +93,46 @@ class SpaceTimeBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, num_frames: int,
-                 train: bool = False) -> jax.Array:
+    def __call__(self, cls: jax.Array, patches: jax.Array,
+                 train: bool = False) -> tuple:
+        norm3 = LayerNorm(epsilon=1e-6, name="norm3")
         time_out = DividedAttentionBlock(
             self.dim, self.num_heads, self.qkv_bias, zero_init=True,
             dtype=self.dtype, name="timeattn",
-        )(LayerNorm(epsilon=1e-6, name="norm3")(x), num_frames, "time")
+        )(norm3(cls), norm3(patches), "time")
         if self.is_tanh_gating:
             alpha = self.param("alpha_timeattn", nn.initializers.zeros, ())
-            time_out = jnp.tanh(alpha).astype(x.dtype) * time_out
-        time_residual = x + time_out
+            gate = jnp.tanh(alpha).astype(cls.dtype)
+            time_out = (gate * time_out[0], gate * time_out[1])
+        time_res = (cls + time_out[0], patches + time_out[1])
 
+        norm1 = LayerNorm(epsilon=1e-6, name="norm1")
         space_out = DividedAttentionBlock(
             self.dim, self.num_heads, self.qkv_bias,
             dtype=self.dtype, name="attn",
-        )(LayerNorm(epsilon=1e-6, name="norm1")(time_residual), num_frames,
-          "space")
+        )(norm1(time_res[0]), norm1(time_res[1]), "space")
 
-        def dp(y):
+        def dp(pair):
             if self.drop_path_rate == 0.0 or not train:
-                return y
-            return drop_path(y, self.drop_path_rate, deterministic=False,
-                             rng=self.make_rng("drop_path"))
+                return pair
+            # ONE rng for both halves: stochastic depth drops the whole
+            # residual per sample — the CLS row and the patches must share
+            # the mask (same key + same leading dim → identical draws).
+            rng = self.make_rng("drop_path")
+            return tuple(drop_path(y, self.drop_path_rate,
+                                   deterministic=False, rng=rng)
+                         for y in pair)
 
         # frozen-in-time: the spatial residual reconnects to the block input
         # (reference timesformer.py:191-193)
-        space_residual = x + dp(space_out)
+        space_out = dp(space_out)
+        space_res = (cls + space_out[0], patches + space_out[1])
 
-        mlp_out = Mlp(int(self.dim * self.mlp_ratio), act=self.act,
-                      dtype=self.dtype, name="mlp")(
-            LayerNorm(epsilon=1e-6, name="norm2")(space_residual))
-        return space_residual + dp(mlp_out)
+        norm2 = LayerNorm(epsilon=1e-6, name="norm2")
+        mlp = Mlp(int(self.dim * self.mlp_ratio), act=self.act,
+                  dtype=self.dtype, name="mlp")
+        mlp_out = dp((mlp(norm2(space_res[0])), mlp(norm2(space_res[1]))))
+        return space_res[0] + mlp_out[0], space_res[1] + mlp_out[1]
 
 
 class SpaceTimeTransformer(nn.Module):
@@ -162,7 +183,7 @@ class SpaceTimeTransformer(nn.Module):
                     strides=(self.patch_size, self.patch_size),
                     use_bias=not self.ln_pre, dtype=self.dtype,
                     name="patch_embed")(x)
-        x = x.reshape(B, T * N, D)
+        patches = x.reshape(B, T, N, D)
 
         cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, D))
         pos_embed = self.param("pos_embed", trunc_normal_init(0.02),
@@ -171,23 +192,22 @@ class SpaceTimeTransformer(nn.Module):
                                     (1, self.num_frames, D))
 
         cls = jnp.broadcast_to(cls_token.astype(self.dtype), (B, 1, D))
-        x = jnp.concatenate([cls, x], axis=1)
 
-        # spatial PE tiled over frames; temporal PE repeated within frames
-        tile_pos = jnp.tile(pos_embed[:, 1:], (1, T, 1))
-        tile_time = jnp.repeat(temporal_embed[:, :T], N, axis=1)
-        pe = jnp.concatenate([pos_embed[:, :1], tile_pos + tile_time], axis=1)
-        x = x + pe.astype(self.dtype)
+        # spatial PE broadcast over frames; temporal PE over positions
+        pe = (pos_embed[:, None, 1:] + temporal_embed[:, :T, None])
+        patches = patches + pe.astype(self.dtype)      # (B, T, N, D)
+        cls = cls + pos_embed[:, :1].astype(self.dtype)
 
         if self.ln_pre:
-            x = LayerNorm(name="ln_pre")(x)
+            ln_pre = LayerNorm(name="ln_pre")
+            cls, patches = ln_pre(cls), ln_pre(patches)
 
         block_cls = SpaceTimeBlock
         if self.remat:
             policy = None
             if self.remat_policy == "dots":
                 policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-            block_cls = nn.remat(SpaceTimeBlock, static_argnums=(2, 3),
+            block_cls = nn.remat(SpaceTimeBlock, static_argnums=(3,),
                                  policy=policy)
         # stochastic depth decay rule: linear 0 → drop_path_rate
         dprs = [self.drop_path_rate * i / max(self.depth - 1, 1)
@@ -200,9 +220,12 @@ class SpaceTimeTransformer(nn.Module):
                 drop_path_rate=dprs[i], dtype=self.dtype,
                 name=f"blocks_{i}",
             )
-            x = blk(x, T, train)
+            cls, patches = blk(cls, patches, train)
 
         norm = LayerNorm(epsilon=1e-6, name="norm")
         if cls_at_last:
-            return norm(x)[:, 0]
-        return norm(x)
+            return norm(cls)[:, 0]
+        # joint sequence for consumers that pool over all tokens
+        # (narrator attention pooler, reference narrator.py:71-75)
+        return norm(jnp.concatenate(
+            [cls, patches.reshape(B, T * N, D)], axis=1))

@@ -87,8 +87,9 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
-def _time_attention_unrolled(q: jax.Array, k: jax.Array, v: jax.Array,
-                             F: int, scale: float) -> jax.Array:
+def _time_attention_unrolled(qp: jax.Array, kp: jax.Array, vp: jax.Array,
+                             cls_k: jax.Array, cls_v: jax.Array,
+                             scale: float) -> jax.Array:
     """Temporal divided attention WITHOUT the grouped relayout.
 
     The grouped formulation transposes tokens to position-major
@@ -99,39 +100,139 @@ def _time_attention_unrolled(q: jax.Array, k: jax.Array, v: jax.Array,
     (f, g), score[b,n,h] = Σ_d q[b,f,n,h,d]·k[b,g,n,h,d] touches only
     contiguous (B, N, H·d) slices; no transpose ever hits HBM.
 
-    q/k/v: (B, 1+F·N, H, d) CLS-prefixed, frame-major (raw, unscaled).
-    Returns PATCH outputs (B, F·N, H, d); the CLS row is handled by the
-    caller. Semantics match the grouped path exactly
+    qp/kp/vp: (B, F, N, H, d) patch tokens (raw, unscaled); cls_k/cls_v:
+    (B, 1, H, d), visible to every group. Returns patch outputs
+    (B, F, N, H, d); the CLS query row is handled by the caller.
+    Semantics match the grouped path exactly
     (reference timesformer.py:116-137)."""
-    B, L, H, d = q.shape
-    N = (L - 1) // F
+    B, F, N, H, d = qp.shape
     f32 = jnp.float32
-
-    def frame(t, f):  # contiguous slice, no relayout
-        return t[:, 1 + f * N: 1 + (f + 1) * N]        # (B, N, H, d)
-
-    cls_k = k[:, :1]                                    # (B, 1, H, d)
-    cls_v = v[:, :1]
 
     outs = []
     for f in range(F):
-        qf = frame(q, f)
+        qf = qp[:, f]                                   # (B, N, H, d)
         # scores vs every frame g and vs CLS: F+1 fused mul-reduces
-        scores = [jnp.sum(qf.astype(f32) * frame(k, g).astype(f32),
+        scores = [jnp.sum(qf.astype(f32) * kp[:, g].astype(f32),
                           axis=-1) for g in range(F)]
         scores.append(jnp.sum(qf.astype(f32) * cls_k.astype(f32), axis=-1))
         s = jnp.stack(scores, axis=-1) * scale          # (B, N, H, F+1)
-        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        p = jax.nn.softmax(s, axis=-1).astype(qp.dtype)
         out = p[..., F:F + 1] * cls_v                   # CLS value term
         for g in range(F):
-            out = out + p[..., g:g + 1] * frame(v, g)
+            out = out + p[..., g:g + 1] * vp[:, g]
         outs.append(out)
-    return jnp.concatenate(outs, axis=1)                # (B, F*N, H, d)
+    return jnp.stack(outs, axis=1)                      # (B, F, N, H, d)
+
+
+def divided_attention_split(cls_q: jax.Array, cls_k: jax.Array,
+                            cls_v: jax.Array, qp: jax.Array, kp: jax.Array,
+                            vp: jax.Array, axis: str) -> tuple:
+    """Divided space-time attention in the CLS-SEPARATE layout.
+
+    The production entry point: keeping the CLS token out of the patch
+    tensor means no per-block slice (``x[:, 1:]``) / ``concatenate``
+    copies ever materialize in HBM around the attention kernels
+    (measured ~1 ms/block fwd+bwd on v5e), and the patch tensor's
+    ``(B, F, N, H·d)`` shape is a FREE reshape of the qkv projection
+    output.
+
+    Args:
+      cls_q/cls_k/cls_v: (B, 1, H, d) — the CLS token's rows.
+      qp/kp/vp: (B, F, N, H, d) patch tokens, frame-major, unscaled.
+      axis: 'time' | 'space' (group = spatial position / frame).
+
+    Returns:
+      (cls_out (B, 1, H, d), patches_out (B, F, N, H, d)). CLS attends
+      over ALL tokens; each patch attends within its group plus CLS
+      (reference lavila/models/timesformer.py:116-137).
+    """
+    B, F, N, H, d = qp.shape
+    scale = d ** -0.5
+    f32 = jnp.float32
+
+    if axis == "time" and _RING_MESH is not None:
+        from lavila_tpu.ops.ring_attention import divided_time_ring
+        q = jnp.concatenate([cls_q, qp.reshape(B, F * N, H, d)], axis=1)
+        k = jnp.concatenate([cls_k, kp.reshape(B, F * N, H, d)], axis=1)
+        v = jnp.concatenate([cls_v, vp.reshape(B, F * N, H, d)], axis=1)
+        out = divided_time_ring(q, k, v, F, *_RING_MESH)
+        return out[:, :1], out[:, 1:].reshape(B, F, N, H, d)
+
+    # --- CLS query attends over [itself; all patches] --------------------
+    s_self = jnp.sum(cls_q.astype(f32) * cls_k.astype(f32),
+                     axis=-1) * scale                       # (B, 1, H)
+    s_pat = jnp.einsum("bqhd,bkhd->bqhk", cls_q,
+                       kp.reshape(B, F * N, H, d),
+                       preferred_element_type=f32) * scale  # (B, 1, H, FN)
+    m = jnp.maximum(jnp.max(s_pat, axis=-1), s_self)        # (B, 1, H)
+    e_self = jnp.exp(s_self - m)
+    e_pat = jnp.exp(s_pat - m[..., None])
+    denom = e_self + jnp.sum(e_pat, axis=-1)
+    cls_out = (e_self[..., None] * cls_v.astype(f32)
+               + jnp.einsum("bqhk,bkhd->bqhd", e_pat,
+                            vp.reshape(B, F * N, H, d).astype(f32)))
+    cls_out = (cls_out / denom[..., None]).astype(qp.dtype)
+
+    if _BACKEND == "pallas":
+        # fused divided-phase kernels for BOTH phases (scores, softmax,
+        # PV, CLS key folded in — the whole phase per block in VMEM from
+        # the token-major layout; no grouped relayout, no fp32 score
+        # temps in HBM, ops/pallas/divided.py). The temporal kernel uses
+        # the head-SEGMENTED formulation (MXU dots against a 0/1
+        # head-segment matrix instead of per-head lane slices): measured
+        # 0.3 ms/block fwd+bwd on v5e vs ~1.7 for the unrolled XLA path
+        # in context — and sharing the spatial kernel's layout removes
+        # the per-block relayout flip-flop XLA otherwise inserts between
+        # the token-lane layout its unrolled path prefers and the
+        # token-major layout the spatial kernel needs.
+        from lavila_tpu.ops.pallas.divided import divided_phase
+        D = H * d
+        patches = divided_phase(
+            qp.reshape(B, F, N, D), kp.reshape(B, F, N, D),
+            vp.reshape(B, F, N, D), cls_k.reshape(B, D),
+            cls_v.reshape(B, D), axis, H, scale)
+        return cls_out, patches.reshape(B, F, N, H, d)
+
+    if axis == "time" and F <= 8 and _BACKEND == "xla":
+        # XLA temporal path: unrolled VPU formulation, no relayout
+        patches = _time_attention_unrolled(qp, kp, vp, cls_k, cls_v, scale)
+        return cls_out, patches
+
+    # --- patch tokens: grouped attention with CLS k/v prepended ----------
+    def group(t):
+        if axis == "time":
+            t = t.transpose(0, 2, 1, 3, 4)  # (B, N, F, H, d): group=position
+        return t  # space: (B, F, N, H, d): group=frame
+
+    qg = group(qp) * scale                  # (B, G, S, H, d)
+    kg = group(kp)
+    vg = group(vp)
+    G, S = qg.shape[1], qg.shape[2]
+
+    # broadcast the CLS key/value into every group as key index 0
+    ck = jnp.broadcast_to(cls_k[:, :, None], (B, G, 1, H, d))
+    cv = jnp.broadcast_to(cls_v[:, :, None], (B, G, 1, H, d))
+    kg = jnp.concatenate([ck, kg], axis=2)  # (B, G, 1+S, H, d)
+    vg = jnp.concatenate([cv, vg], axis=2)
+
+    scores = jnp.einsum("bgqhd,bgkhd->bhgqk", qg, kg,
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(qp.dtype)
+    out = jnp.einsum("bhgqk,bgkhd->bgqhd", probs,
+                     vg)                           # (B, G, S, H, d)
+
+    if axis == "time":
+        out = out.transpose(0, 2, 1, 3, 4)  # back to (B, F, N, H, d)
+    return cls_out, out
 
 
 def divided_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                       num_frames: int, axis: str) -> jax.Array:
     """Divided space-time attention over a CLS-prefixed token sequence.
+
+    Compatibility wrapper over :func:`divided_attention_split` (the
+    CLS-separate production path used by the model): splits off the CLS
+    row, runs the phase, and re-concatenates.
 
     Args:
       q, k, v: (B, 1 + F*N, H, d) — token 0 is CLS, the rest are patch
@@ -153,68 +254,12 @@ def divided_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     F = num_frames
     N = (L - 1) // F
     assert 1 + F * N == L, (L, F)
-    scale = d ** -0.5
-
-    # --- CLS query attends over the full sequence ------------------------
-    cls_q = q[:, :1] * scale                                  # (B, 1, H, d)
-    cls_scores = jnp.einsum("bqhd,bkhd->bhqk", cls_q, k,
-                            preferred_element_type=jnp.float32)
-    cls_probs = jax.nn.softmax(cls_scores, axis=-1).astype(q.dtype)
-    cls_out = jnp.einsum("bhqk,bkhd->bqhd", cls_probs, v)     # (B, 1, H, d)
-
-    if _BACKEND == "pallas" and (axis == "space" or F > 8):
-        # fused divided-phase kernel: the whole phase (scores, softmax,
-        # PV, CLS key folded in) computed per block in VMEM from the
-        # token-major layout — no grouped relayout, no CLS concat, no
-        # fp32 score temps in HBM (ops/pallas/divided.py). The CLS row
-        # (global attention) is the XLA einsum above. The TEMPORAL phase
-        # at F <= 8 instead uses the unrolled VPU path below: measured on
-        # v5e it beats the fused kernel (3.3 vs 4.7 ms/block fwd+bwd) —
-        # both stream the same HBM bytes, and XLA's fusion of the
-        # elementwise score/PV ops is tighter than Mosaic's lane-sliced
-        # per-head loop.
-        from lavila_tpu.ops.pallas.divided import divided_phase
-        D = H * d
-        patches = divided_phase(
-            q[:, 1:].reshape(B, F, N, D), k[:, 1:].reshape(B, F, N, D),
-            v[:, 1:].reshape(B, F, N, D), k[:, 0].reshape(B, D),
-            v[:, 0].reshape(B, D), axis, H, scale)
-        patches = patches.reshape(B, F * N, H, d)
-        return jnp.concatenate([cls_out, patches], axis=1)
-
-    if axis == "time" and F <= 8 and _BACKEND in ("xla", "pallas"):
-        # default temporal path: unrolled VPU formulation, no relayout
-        patches = _time_attention_unrolled(q, k, v, F, scale)
-        return jnp.concatenate([cls_out, patches], axis=1)
-
-    # --- patch tokens: grouped attention with CLS k/v prepended ----------
-    def group(t):
-        t = t.reshape(B, F, N, H, d)
-        if axis == "time":
-            t = t.transpose(0, 2, 1, 3, 4)  # (B, N, F, H, d): group=position
-        return t  # space: (B, F, N, H, d): group=frame
-
-    qg = group(q[:, 1:]) * scale            # (B, G, S, H, d)
-    kg = group(k[:, 1:])
-    vg = group(v[:, 1:])
-    G, S = qg.shape[1], qg.shape[2]
-
-    # broadcast the CLS key/value into every group as key index 0
-    cls_k = jnp.broadcast_to(k[:, :1][:, :, None], (B, G, 1, H, d))
-    cls_v = jnp.broadcast_to(v[:, :1][:, :, None], (B, G, 1, H, d))
-    kg = jnp.concatenate([cls_k, kg], axis=2)  # (B, G, 1+S, H, d)
-    vg = jnp.concatenate([cls_v, vg], axis=2)
-
-    scores = jnp.einsum("bgqhd,bgkhd->bhgqk", qg, kg,
-                        preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhgqk,bgkhd->bgqhd", probs,
-                     vg)                           # (B, G, S, H, d)
-
-    if axis == "time":
-        out = out.transpose(0, 2, 1, 3, 4)  # back to (B, F, N, H, d)
-    out = out.reshape(B, F * N, H, d)
-    return jnp.concatenate([cls_out, out], axis=1)
+    cls_out, patches = divided_attention_split(
+        q[:, :1], k[:, :1], v[:, :1],
+        q[:, 1:].reshape(B, F, N, H, d), k[:, 1:].reshape(B, F, N, H, d),
+        v[:, 1:].reshape(B, F, N, H, d), axis)
+    return jnp.concatenate([cls_out, patches.reshape(B, F * N, H, d)],
+                           axis=1)
 
 
 def causal_mask(length: int, dtype=jnp.float32) -> jax.Array:

@@ -130,45 +130,64 @@ def _space_bwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref, lse_ref,
 
 # ==========================================================================
 # temporal phase: grid (B, N/Nb); block = an (F, Nb, D) slab of one clip.
-# F is tiny, so scores are VPU mul-reduces — no matmuls, no relayout.
+#
+# Head-SEGMENTED formulation: per-head score/broadcast reductions are
+# expressed as full-width MXU dots against a 0/1 segment matrix
+# Seg[d, h] = (d // dh == h), so the kernel never lane-slices the 12
+# heads out of the D=H·dh axis (sub-tile slices at 64-lane offsets cost
+# VPU repacks that made the v1 kernel 2× slower than XLA's unrolled
+# path). For each frame pair (f, g):
+#   scores  s[n, h] = Σ_d (q_f ⊙ k_g)[n, d] · Seg[d, h]   — (Nb,D)@(D,Hp)
+#   combine o[n, d] += (p_g @ Segᵀ)[n, d] · v_g[n, d]      — (Nb,Hp)@(Hp,D)
+# with Hp = H padded to the 128-lane tile. All elementwise work is
+# full-lane (Nb, D)/(Nb, Hp); the only loops are over the F frame pairs.
 # ==========================================================================
 
 
-def _time_scores(qh, kh, ckh, scale):
-    """qh/kh: (F, N, dh); ckh (1, dh) → fp32 scores (F, N, F+1)."""
-    F = qh.shape[0]
-    q32 = qh.astype(jnp.float32)
-    cols = [jnp.sum(q32 * kh[g][None].astype(jnp.float32), axis=-1)
-            for g in range(F)]                            # each (F, N)
-    cols.append(jnp.sum(q32 * ckh[None].astype(jnp.float32), axis=-1))
-    return jnp.stack(cols, axis=-1) * scale               # (F, N, F+1)
+def _seg_masks(D, dh, Hp, dtype):
+    d_ids = jax.lax.broadcasted_iota(jnp.int32, (D, Hp), 0) // dh
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (D, Hp), 1)
+    seg = (d_ids == h_ids).astype(dtype)                  # (D, Hp)
+    segT = seg.T                                          # (Hp, D)
+    return seg, segT
+
+
+def _seg_dot(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 def _time_fwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref, lse_ref,
                      *, heads: int, num_frames: int, scale: float):
     F = num_frames
-    dh = q_ref.shape[-1] // heads
-    for h in range(heads):
-        sl = pl.ds(h * dh, dh)
-        qh = q_ref[0, :, :, sl]                           # (F, N, dh)
-        kh = k_ref[0, :, :, sl]
-        vh = v_ref[0, :, :, sl]
-        ckh = ck_ref[0, :, sl]                            # (1, dh)
-        cvh = cv_ref[0, :, sl]
-        s = _time_scores(qh, kh, ckh, scale)              # (F, N, F+1)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        pn = (p / l).astype(q_ref.dtype)                  # (F, N, F+1)
-        o = pn[:, :, F:F + 1] * cvh[None].astype(q_ref.dtype)
+    D = q_ref.shape[-1]
+    Hp = lse_ref.shape[-1]
+    dt = q_ref.dtype
+    f32 = jnp.float32
+    seg, segT = _seg_masks(D, D // heads, Hp, dt)
+    for f in range(F):
+        qf = q_ref[0, f]                                  # (Nb, D)
+        cols = [_seg_dot(qf * k_ref[0, g], seg) * scale for g in range(F)]
+        cols.append(_seg_dot(qf * ck_ref[0], seg) * scale)
+        m = cols[0]
+        for c in cols[1:]:
+            m = jnp.maximum(m, c)                         # (Nb, Hp) f32
+        ps = [jnp.exp(c - m) for c in cols]
+        l = ps[0]
+        for p in ps[1:]:
+            l = l + p
+        inv = 1.0 / l
+        acc = _seg_dot((ps[F] * inv).astype(dt), segT) * \
+            cv_ref[0].astype(f32)
         for g in range(F):
-            o = o + pn[:, :, g:g + 1] * vh[g][None]
-        o_ref[0, :, :, sl] = o.astype(o_ref.dtype)
-        lse_ref[0, :, :, h] = (m + jnp.log(l))[..., 0]
+            acc = acc + _seg_dot((ps[g] * inv).astype(dt), segT) * \
+                v_ref[0, g].astype(f32)
+        o_ref[0, f] = acc.astype(o_ref.dtype)
+        lse_ref[0, f] = m + jnp.log(l)
 
 
-def _time_bwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref, lse_ref,
-                     delta_ref, dq_ref, dk_ref, dv_ref, dck_ref, dcv_ref,
+def _time_bwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref, o_ref,
+                     lse_ref, dq_ref, dk_ref, dv_ref, dck_ref, dcv_ref,
                      *, heads: int, num_frames: int, num_tokens: int,
                      scale: float):
     F = num_frames
@@ -183,51 +202,54 @@ def _time_bwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref, lse_ref,
     # beyond the true N must not contribute to the dck/dcv reductions
     # (dq/dk/dv writes in the padded region are simply discarded).
     Nb = q_ref.shape[2]
-    row = n * Nb + jax.lax.broadcasted_iota(jnp.int32, (1, Nb, 1), 1)
-    valid = row < num_tokens                              # (1, Nb, 1)
+    D = q_ref.shape[-1]
+    Hp = lse_ref.shape[-1]
+    dt = q_ref.dtype
+    f32 = jnp.float32
+    row = n * Nb + jax.lax.broadcasted_iota(jnp.int32, (Nb, 1), 0)
+    valid = row < num_tokens                              # (Nb, 1)
+    seg, segT = _seg_masks(D, D // heads, Hp, dt)
 
-    dh = q_ref.shape[-1] // heads
-    for h in range(heads):
-        sl = pl.ds(h * dh, dh)
-        qh = q_ref[0, :, :, sl]
-        kh = k_ref[0, :, :, sl]
-        vh = v_ref[0, :, :, sl]
-        ckh = ck_ref[0, :, sl]
-        cvh = cv_ref[0, :, sl]
-        doh = do_ref[0, :, :, sl].astype(jnp.float32)     # (F, N, dh)
-        lse = lse_ref[0, :, :, h][..., None]              # (F, N, 1)
-        delta = delta_ref[0, :, :, h][..., None]
+    dk_acc = [jnp.zeros((Nb, D), f32) for _ in range(F)]
+    dv_acc = [jnp.zeros((Nb, D), f32) for _ in range(F)]
+    dck_acc = jnp.zeros((1, D), f32)
+    dcv_acc = jnp.zeros((1, D), f32)
+    for f in range(F):
+        qf = q_ref[0, f]                                  # (Nb, D)
+        dof = do_ref[0, f]
+        do32 = dof.astype(f32)
+        lse = lse_ref[0, f]                               # (Nb, Hp) f32
+        # delta[n, h] = Σ_d do[n, d]·out[n, d] within head h
+        delta = _seg_dot(dof * o_ref[0, f], seg)          # (Nb, Hp) f32
 
-        s = _time_scores(qh, kh, ckh, scale)
-        p = jnp.exp(s - lse)                              # (F, N, F+1)
+        cols = [_seg_dot(qf * k_ref[0, g], seg) * scale for g in range(F)]
+        cols.append(_seg_dot(qf * ck_ref[0], seg) * scale)
+        ps = [jnp.exp(c - lse) for c in cols]
+        dps = [_seg_dot(dof * v_ref[0, g], seg) for g in range(F)]
+        dps.append(_seg_dot(dof * cv_ref[0], seg))
+        dss = [(p * (dp - delta)).astype(dt)
+               for p, dp in zip(ps, dps)]                 # (Nb, Hp) bf16
 
-        # dp[..., g] = do · v_g ; dp[..., F] = do · cv
-        dp_cols = [jnp.sum(doh * vh[g][None].astype(jnp.float32), axis=-1)
-                   for g in range(F)]
-        dp_cols.append(jnp.sum(doh * cvh[None].astype(jnp.float32),
-                               axis=-1))
-        dp = jnp.stack(dp_cols, axis=-1)                  # (F, N, F+1)
-        ds = p * (dp - delta)                             # fp32
-
-        # dq = Σ_g ds_g k_g + ds_cls ck (scaled)
-        dq = ds[:, :, F:F + 1] * ckh[None].astype(jnp.float32)
+        bcls = _seg_dot(dss[F], segT)                     # (Nb, D) f32
+        dq = bcls * ck_ref[0].astype(f32)
         for g in range(F):
-            dq = dq + ds[:, :, g:g + 1] * kh[g][None].astype(jnp.float32)
-        dq_ref[0, :, :, sl] = (dq * scale).astype(dq_ref.dtype)
-
-        # dk_g = Σ_f ds[f,:,g] q_f ; dv_g = Σ_f p[f,:,g] do_f
-        q32 = qh.astype(jnp.float32)
-        for g in range(F):
-            dk = jnp.sum(ds[:, :, g:g + 1] * q32, axis=0) * scale
-            dv = jnp.sum(p[:, :, g:g + 1] * doh, axis=0)
-            dk_ref[0, g, :, sl] = dk.astype(dk_ref.dtype)
-            dv_ref[0, g, :, sl] = dv.astype(dv_ref.dtype)
-        dck = jnp.sum(jnp.where(valid, ds[:, :, F:F + 1] * q32, 0.0),
-                      axis=(0, 1), keepdims=False) * scale  # (dh,)
-        dcv = jnp.sum(jnp.where(valid, p[:, :, F:F + 1] * doh, 0.0),
-                      axis=(0, 1), keepdims=False)
-        dck_ref[0, :, sl] += dck[None].astype(dck_ref.dtype)
-        dcv_ref[0, :, sl] += dcv[None].astype(dcv_ref.dtype)
+            bds = _seg_dot(dss[g], segT)                  # (Nb, D) f32
+            dq = dq + bds * k_ref[0, g].astype(f32)
+            dk_acc[g] = dk_acc[g] + bds * qf.astype(f32)
+            dv_acc[g] = dv_acc[g] + \
+                _seg_dot(ps[g].astype(dt), segT) * do32
+        dq_ref[0, f] = (dq * scale).astype(dq_ref.dtype)
+        dck_acc = dck_acc + jnp.sum(
+            jnp.where(valid, bcls * qf.astype(f32), 0.0),
+            axis=0, keepdims=True)
+        dcv_acc = dcv_acc + jnp.sum(
+            jnp.where(valid, _seg_dot(ps[F].astype(dt), segT) * do32, 0.0),
+            axis=0, keepdims=True)
+    for g in range(F):
+        dk_ref[0, g] = (dk_acc[g] * scale).astype(dk_ref.dtype)
+        dv_ref[0, g] = dv_acc[g].astype(dv_ref.dtype)
+    dck_ref[0] += (dck_acc * scale).astype(dck_ref.dtype)
+    dcv_ref[0] += dcv_acc.astype(dcv_ref.dtype)
 
 
 # ==========================================================================
@@ -245,29 +267,41 @@ def _space_specs(B, F, N, D, H):
     return tok, cls, lse
 
 
-def _time_nblock(N, cap):
+def _time_nblock(N, F, D, Hp, itemsize, bwd):
     """Patch-dim tile for the temporal grid.
 
     Temporal attention is independent per patch position, so the grid can
-    tile N freely; small blocks keep the kernel's per-head fp32
-    temporaries inside the 16 MB scoped-VMEM budget (a whole-N block OOMs
-    at N=196, D=768, H=12; measured caps on v5e: fwd fits at 64, the bwd
-    at 48 — 56 overflows by 3.6M). Pallas TPU requires the sublane block
-    dim be a multiple of 8 (or the full dim), so edge blocks are padded;
+    tile N freely. The tile is sized from a ~10 MB VMEM budget (16 MB
+    scoped limit on v5e, leaving slack for Mosaic temporaries): per
+    Nb-row the kernel holds the double-buffered token blocks
+    (4 fwd / 7 bwd tensors of (F, Nb, D)), the (F, Nb, Hp) lse rows, and
+    the live (Nb, Hp)/(Nb, D) fp32 temporaries. Blocks are then evened
+    out over the grid (ceil split) and rounded up to the 8-sublane tile;
     the backward kernel masks padded rows out of its dck/dcv reductions.
     """
-    return N if N <= cap else cap
+    if not bwd:
+        per = (2 * (4 * F * D * itemsize + F * Hp * 4)
+               + 2 * (F + 1) * Hp * 4 + 4 * D * 4)
+    else:
+        per = (2 * (7 * F * D * itemsize + F * Hp * 4)
+               + 3 * (F + 1) * Hp * 4 + 2 * F * D * 4 + 6 * D * 4)
+    cap = max(8, (int(10e6) // per) // 8 * 8)
+    if cap >= N:
+        return N
+    nblocks = pl.cdiv(N, cap)
+    return min(cap, -(-pl.cdiv(N, nblocks) // 8) * 8)
 
 
-def _time_specs(B, F, N, D, H, cap=64):
-    Nb = _time_nblock(N, cap)
+def _time_specs(B, F, N, D, H, itemsize, bwd=False):
+    Hp = -(-H // 128) * 128
+    Nb = _time_nblock(N, F, D, Hp, itemsize, bwd)
     tok = pl.BlockSpec((1, F, Nb, D), lambda b, n: (b, 0, n, 0),
                        memory_space=pltpu.VMEM)
     cls = pl.BlockSpec((1, 1, D), lambda b, n: (b, 0, 0),
                        memory_space=pltpu.VMEM)
-    lse = pl.BlockSpec((1, F, Nb, H), lambda b, n: (b, 0, n, 0),
+    lse = pl.BlockSpec((1, F, Nb, Hp), lambda b, n: (b, 0, n, 0),
                        memory_space=pltpu.VMEM)
-    return tok, cls, lse, (B, pl.cdiv(N, Nb))
+    return tok, cls, lse, Hp, (B, pl.cdiv(N, Nb))
 
 
 def _phase_fwd(qp, kp, vp, ck, cv, axis, heads, scale, interpret):
@@ -275,16 +309,19 @@ def _phase_fwd(qp, kp, vp, ck, cv, axis, heads, scale, interpret):
     if axis == "space":
         tok, cls, lse_spec = _space_specs(B, F, N, D, heads)
         grid = (B, F)
+        lse_shape = (B, F, N, heads)
         kernel = functools.partial(_space_fwd_kernel, heads=heads,
                                    scale=scale)
     else:
-        tok, cls, lse_spec, grid = _time_specs(B, F, N, D, heads)
+        tok, cls, lse_spec, Hp, grid = _time_specs(
+            B, F, N, D, heads, qp.dtype.itemsize)
+        lse_shape = (B, F, N, Hp)
         kernel = functools.partial(_time_fwd_kernel, heads=heads,
                                    num_frames=F, scale=scale)
     out, lse = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct(qp.shape, qp.dtype),
-                   jax.ShapeDtypeStruct((B, F, N, heads), jnp.float32)),
+                   jax.ShapeDtypeStruct(lse_shape, jnp.float32)),
         grid=grid,
         in_specs=[tok, tok, tok, cls, cls],
         out_specs=(tok, lse_spec),
@@ -298,23 +335,28 @@ def _phase_fwd(qp, kp, vp, ck, cv, axis, heads, scale, interpret):
 def _phase_bwd(qp, kp, vp, ck, cv, do, lse, out, axis, heads, scale,
                interpret):
     B, F, N, D = qp.shape
-    delta = jnp.sum(
-        do.astype(jnp.float32).reshape(B, F, N, heads, D // heads)
-        * out.astype(jnp.float32).reshape(B, F, N, heads, D // heads),
-        axis=-1)                                          # (B, F, N, H)
     if axis == "space":
+        delta = jnp.sum(
+            do.astype(jnp.float32).reshape(B, F, N, heads, D // heads)
+            * out.astype(jnp.float32).reshape(B, F, N, heads, D // heads),
+            axis=-1)                                      # (B, F, N, H)
         tok, cls, lse_spec = _space_specs(B, F, N, D, heads)
         grid = (B, F)
         kernel = functools.partial(_space_bwd_kernel, heads=heads,
                                    scale=scale)
-        sem = ("parallel", "arbitrary")
-        dcls_shape = (B, 1, D)
+        in_specs = [tok, tok, tok, cls, cls, tok, lse_spec, lse_spec]
+        inputs = (qp, kp, vp, ck.reshape(B, 1, D), cv.reshape(B, 1, D),
+                  do, lse, delta)
     else:
-        tok, cls, lse_spec, grid = _time_specs(B, F, N, D, heads, cap=48)
+        tok, cls, lse_spec, Hp, grid = _time_specs(
+            B, F, N, D, heads, qp.dtype.itemsize, bwd=True)
         kernel = functools.partial(_time_bwd_kernel, heads=heads,
                                    num_frames=F, num_tokens=N, scale=scale)
-        sem = ("parallel", "arbitrary")
-        dcls_shape = (B, 1, D)
+        # delta is computed in-kernel from (do, out) — head-segmented
+        in_specs = [tok, tok, tok, cls, cls, tok, tok, lse_spec]
+        inputs = (qp, kp, vp, ck.reshape(B, 1, D), cv.reshape(B, 1, D),
+                  do, out, lse)
+    dcls_shape = (B, 1, D)
     dq, dk, dv, dck, dcv = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct(qp.shape, qp.dtype),
@@ -323,11 +365,12 @@ def _phase_bwd(qp, kp, vp, ck, cv, do, lse, out, axis, heads, scale,
                    jax.ShapeDtypeStruct(dcls_shape, jnp.float32),
                    jax.ShapeDtypeStruct(dcls_shape, jnp.float32)),
         grid=grid,
-        in_specs=[tok, tok, tok, cls, cls, tok, lse_spec, lse_spec],
+        in_specs=in_specs,
         out_specs=(tok, tok, tok, cls, cls),
-        compiler_params=pltpu.CompilerParams(dimension_semantics=sem),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(qp, kp, vp, ck.reshape(B, 1, D), cv.reshape(B, 1, D), do, lse, delta)
+    )(*inputs)
     return (dq, dk, dv, dck.reshape(B, D).astype(ck.dtype),
             dcv.reshape(B, D).astype(cv.dtype))
 

@@ -111,17 +111,18 @@ def main():
     if args.ablate:
         # ablate phases by monkeypatching the model's imported symbol
         from lavila_tpu.models import timesformer as TSF
-        orig = A.divided_attention
+        orig = A.divided_attention_split
 
         def make_ablated(which):
-            def fn(q, k, v, num_frames, axis):
+            def fn(qc, kc, vc, qp, kp, vp, axis):
                 if axis == which:
-                    return v  # identity: same shape/cost envelope minus attn
-                return orig(q, k, v, num_frames, axis)
+                    # identity: same shape/cost envelope minus the attn
+                    return vc, vp
+                return orig(qc, kc, vc, qp, kp, vp, axis)
             return fn
 
         for which in ("time", "space"):
-            TSF.divided_attention = make_ablated(which)
+            TSF.divided_attention_split = make_ablated(which)
             try:
                 g2 = jax.jit(jax.grad(loss_fn))
                 t_a = timeit(lambda: g2(params_b, batch),
@@ -130,7 +131,7 @@ def main():
                 print(f"fwd+bwd no-{which:5s}: {t_a*1e3:8.2f} ms   "
                       f"({which} attn cost ≈ {(t_bwd-t_a)*1e3:.2f} ms)")
             finally:
-                TSF.divided_attention = orig
+                TSF.divided_attention_split = orig
 
 
 if __name__ == "__main__":

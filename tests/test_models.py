@@ -43,10 +43,12 @@ def test_timesformer_zero_init_time_attention_is_identity_at_init():
     property: the time-attention output at init is exactly zero."""
     from lavila_tpu.models.timesformer import DividedAttentionBlock
     blk = DividedAttentionBlock(dim=48, num_heads=4, zero_init=True)
-    x = jax.random.normal(jax.random.key(1), (2, 1 + 2 * 4, 48))
-    params = blk.init(jax.random.key(0), x, 2, "time")
-    out = blk.apply(params, x, 2, "time")
-    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+    cls = jax.random.normal(jax.random.key(1), (2, 1, 48))
+    patches = jax.random.normal(jax.random.key(2), (2, 2, 4, 48))
+    params = blk.init(jax.random.key(0), cls, patches, "time")
+    cls_out, p_out = blk.apply(params, cls, patches, "time")
+    np.testing.assert_allclose(np.asarray(cls_out), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_out), 0.0, atol=1e-6)
 
 
 def test_text_transformer_eot_pooling():
