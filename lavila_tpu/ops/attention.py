@@ -124,6 +124,83 @@ def _time_attention_unrolled(qp: jax.Array, kp: jax.Array, vp: jax.Array,
     return jnp.stack(outs, axis=1)                      # (B, F, N, H, d)
 
 
+@jax.custom_vjp
+def _cls_row_attention(cls_q, cls_k, cls_v, kp, vp):
+    """The CLS token's (global) attention row over [itself; all patches].
+
+    cls_q/cls_k/cls_v: (B, 1, H, d); kp/vp: (B, F, N, H, d) token-major.
+    Returns (B, 1, H, d).
+
+    Formulated as token-major mul-reduces, NOT einsums: a batched (b, h)
+    dot_general here makes XLA's layout assignment prefer head-major
+    layouts for the FULL kp/vp tensors and insert whole-tensor relayout
+    copies around the token-major phase kernels (measured ~5 ms/step on
+    v5e). The reduction is only B·F·N·H·d MACs — VPU work fused into the
+    surrounding elementwise ops. The custom VJP keeps the backward in
+    the same form: jax's autodiff of the fp32-promoted forward would
+    materialize fp32 (B, F, N, H, d) temporaries (+4 ms/step measured);
+    here every full-size backward tensor stays in the input dtype.
+    """
+    out, _ = _cls_row_fwd_impl(cls_q, cls_k, cls_v, kp, vp)
+    return out
+
+
+def _cls_row_fwd_impl(cls_q, cls_k, cls_v, kp, vp):
+    f32 = jnp.float32
+    d = kp.shape[-1]
+    scale = d ** -0.5
+    s_self = jnp.sum(cls_q.astype(f32) * cls_k.astype(f32),
+                     axis=-1) * scale                       # (B, 1, H)
+    clsq = cls_q[:, 0][:, None, None]                       # (B,1,1,H,d)
+    s_pat = jnp.sum((clsq * kp).astype(f32), axis=-1) * scale  # (B,F,N,H)
+    m = jnp.maximum(jnp.max(s_pat, axis=(1, 2)), s_self[:, 0])  # (B, H)
+    p_self = jnp.exp(s_self - m[:, None])                   # (B, 1, H)
+    p_pat = jnp.exp(s_pat - m[:, None, None])               # (B, F, N, H)
+    denom = p_self + jnp.sum(p_pat, axis=(1, 2))[:, None]   # (B, 1, H)
+    inv = 1.0 / denom
+    p_self = p_self * inv
+    p_pat = p_pat * inv[:, 0][:, None, None]                # normalized
+    out = (p_self[..., None] * cls_v.astype(f32)
+           + jnp.sum((p_pat.astype(kp.dtype)[..., None] * vp).astype(f32),
+                     axis=(1, 2))[:, None])                 # (B, 1, H, d)
+    return out.astype(kp.dtype), (p_self, p_pat)
+
+
+def _cls_row_vjp_fwd(cls_q, cls_k, cls_v, kp, vp):
+    out, (p_self, p_pat) = _cls_row_fwd_impl(cls_q, cls_k, cls_v, kp, vp)
+    return out, (cls_q, cls_k, cls_v, kp, vp, p_self, p_pat, out)
+
+
+def _cls_row_vjp_bwd(res, g):
+    cls_q, cls_k, cls_v, kp, vp, p_self, p_pat, out = res
+    f32 = jnp.float32
+    dt = kp.dtype
+    d = kp.shape[-1]
+    scale = d ** -0.5
+    g32 = g.astype(f32)
+    delta = jnp.sum(g32 * out.astype(f32), axis=-1)         # (B, 1, H)
+    gb = g[:, 0][:, None, None]                             # (B,1,1,H,d)
+    dp_pat = jnp.sum((gb * vp).astype(f32), axis=-1)        # (B, F, N, H)
+    ds_pat = (p_pat * (dp_pat - delta[:, 0][:, None, None])
+              ).astype(dt)                                  # (B, F, N, H)
+    dp_self = jnp.sum(g32 * cls_v.astype(f32), axis=-1)     # (B, 1, H)
+    ds_self = (p_self * (dp_self - delta)).astype(dt)       # (B, 1, H)
+
+    clsq = cls_q[:, 0][:, None, None]                       # (B,1,1,H,d)
+    dkp = (ds_pat[..., None] * clsq * scale).astype(dt)
+    dvp = (p_pat.astype(dt)[..., None] * gb).astype(dt)
+    dcls_q = (jnp.sum((ds_pat[..., None] * kp).astype(f32), axis=(1, 2)
+                      )[:, None]
+              + ds_self.astype(f32)[..., None] * cls_k.astype(f32))
+    dcls_q = (dcls_q * scale).astype(dt)
+    dcls_k = (ds_self[..., None] * cls_q * scale).astype(dt)
+    dcls_v = (p_self.astype(dt)[..., None] * g).astype(dt)
+    return dcls_q, dcls_k, dcls_v, dkp, dvp
+
+
+_cls_row_attention.defvjp(_cls_row_vjp_fwd, _cls_row_vjp_bwd)
+
+
 def divided_attention_split(cls_q: jax.Array, cls_k: jax.Array,
                             cls_v: jax.Array, qp: jax.Array, kp: jax.Array,
                             vp: jax.Array, axis: str) -> tuple:
@@ -158,20 +235,7 @@ def divided_attention_split(cls_q: jax.Array, cls_k: jax.Array,
         out = divided_time_ring(q, k, v, F, *_RING_MESH)
         return out[:, :1], out[:, 1:].reshape(B, F, N, H, d)
 
-    # --- CLS query attends over [itself; all patches] --------------------
-    s_self = jnp.sum(cls_q.astype(f32) * cls_k.astype(f32),
-                     axis=-1) * scale                       # (B, 1, H)
-    s_pat = jnp.einsum("bqhd,bkhd->bqhk", cls_q,
-                       kp.reshape(B, F * N, H, d),
-                       preferred_element_type=f32) * scale  # (B, 1, H, FN)
-    m = jnp.maximum(jnp.max(s_pat, axis=-1), s_self)        # (B, 1, H)
-    e_self = jnp.exp(s_self - m)
-    e_pat = jnp.exp(s_pat - m[..., None])
-    denom = e_self + jnp.sum(e_pat, axis=-1)
-    cls_out = (e_self[..., None] * cls_v.astype(f32)
-               + jnp.einsum("bqhk,bkhd->bqhd", e_pat,
-                            vp.reshape(B, F * N, H, d).astype(f32)))
-    cls_out = (cls_out / denom[..., None]).astype(qp.dtype)
+    cls_out = _cls_row_attention(cls_q, cls_k, cls_v, kp, vp)
 
     if _BACKEND == "pallas":
         # fused divided-phase kernels for BOTH phases (scores, softmax,

@@ -21,8 +21,10 @@ measured on v5e they cost ~86 ms of a 153 ms TSF-B step (batch 16) for
     kernel pass per phase. Scores never hit HBM in either direction.
 
 Spatial phase: one grid step per (batch, frame), groups of N+1 keys on
-the MXU. Temporal phase: one grid step per (batch, N-slab), F·(F+1) score
-planes as VPU mul-reduces (F ≤ 8 makes MXU matmuls pointless here).
+the MXU; the backward's CLS-column grads and delta are head-SEGMENTED
+(full-width MXU dots against a 0/1 head-segment matrix) instead of
+per-head lane slices. Temporal phase: one grid step per (batch, N-slab)
+with the fully segmented formulation — see the section comment below.
 """
 
 from __future__ import annotations
@@ -50,13 +52,14 @@ def _space_fwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref, lse_ref,
         qh = q_ref[0, 0, :, sl]                          # (N, dh)
         kh = k_ref[0, 0, :, sl]
         vh = v_ref[0, 0, :, sl]
-        ckh = ck_ref[0, :, sl]                           # (1, dh)
+        ckh = ck_ref[0, :, sl]
         cvh = cv_ref[0, :, sl]
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # (N, N)
-        # CLS column as a VPU mul-reduce: Mosaic can't lower a dot with a
-        # 1-row operand (vector.broadcast elt-type verify failure).
+        # CLS column as a VPU mul-reduce: Mosaic can't lower a dot with
+        # a 1-row operand, and a lane-slice of a precomputed (N, Hp)
+        # column table measured slower than recomputing it here
         s_cls = jnp.sum(qh.astype(jnp.float32) * ckh.astype(jnp.float32),
                         axis=-1, keepdims=True) * scale   # (N, 1)
         m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), s_cls)
@@ -71,8 +74,8 @@ def _space_fwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref, lse_ref,
         lse_ref[0, 0, :, h] = (m + jnp.log(l))[:, 0]
 
 
-def _space_bwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref, lse_ref,
-                      delta_ref, dq_ref, dk_ref, dv_ref, dck_ref, dcv_ref,
+def _space_bwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref, o_ref,
+                      lse_ref, dq_ref, dk_ref, dv_ref, dck_ref, dcv_ref,
                       *, heads: int, scale: float):
     f = pl.program_id(1)
 
@@ -81,37 +84,53 @@ def _space_bwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref, lse_ref,
         dck_ref[...] = jnp.zeros_like(dck_ref)
         dcv_ref[...] = jnp.zeros_like(dcv_ref)
 
-    dh = q_ref.shape[-1] // heads
+    D = q_ref.shape[-1]
+    Hp = lse_ref.shape[-1]
+    dh = D // heads
+    dt = q_ref.dtype
+    f32 = jnp.float32
+    seg, segT = _seg_masks(D, dh, Hp, dt)
+    q = q_ref[0, 0]                                       # (N, D)
+    do = do_ref[0, 0]
+    lse_all = lse_ref[0, 0]                               # (N, Hp) f32
+    # head-segmented full-width precomputes: delta, CLS column grads
+    delta_all = _seg_dot(do * o_ref[0, 0], seg)           # (N, Hp) f32
+    s_cls_all = _seg_dot(q * ck_ref[0], seg) * scale
+    dp_cls_all = _seg_dot(do * cv_ref[0], seg)
+    # lanes >= heads hold garbage lse (the fwd only writes real heads'
+    # columns): mask them or exp() manufactures inf -> NaN·0 below
+    valid_h = jax.lax.broadcasted_iota(
+        jnp.int32, lse_all.shape, 1) < heads
+    p_cls_all = jnp.where(valid_h, jnp.exp(s_cls_all - lse_all), 0.0)
+    ds_cls_all = p_cls_all * (dp_cls_all - delta_all)     # (N, Hp) f32
+    bcls = _seg_dot(ds_cls_all.astype(dt), segT)          # (N, D) f32
+    bpcls = _seg_dot(p_cls_all.astype(dt), segT)
+    dck_ref[0] += (jnp.sum(bcls * q.astype(f32), axis=0, keepdims=True)
+                   * scale).astype(dck_ref.dtype)
+    dcv_ref[0] += jnp.sum(bpcls * do.astype(f32), axis=0,
+                          keepdims=True).astype(dcv_ref.dtype)
+
     for h in range(heads):
         sl = pl.ds(h * dh, dh)
         qh = q_ref[0, 0, :, sl]
         kh = k_ref[0, 0, :, sl]
         vh = v_ref[0, 0, :, sl]
-        ckh = ck_ref[0, :, sl].astype(jnp.float32)
-        cvh = cv_ref[0, :, sl].astype(jnp.float32)
         doh = do_ref[0, 0, :, sl].astype(jnp.float32)
-        lse = lse_ref[0, 0, :, h][:, None]                # (N, 1)
-        delta = delta_ref[0, 0, :, h][:, None]            # (N, 1)
+        lse = lse_all[:, h:h + 1]                         # (N, 1)
+        delta = delta_all[:, h:h + 1]
 
         s = jax.lax.dot_general(
             qh, kh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        s_cls = jnp.sum(qh.astype(jnp.float32) * ckh, axis=-1,
-                        keepdims=True) * scale
         p = jnp.exp(s - lse)                               # (N, N)
-        p_cls = jnp.exp(s_cls - lse)                       # (N, 1)
-
         dp = jax.lax.dot_general(
             doh, vh.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)            # (N, N)
-        dp_cls = jnp.sum(doh * cvh, axis=-1, keepdims=True)
         ds = p * (dp - delta)
-        ds_cls = p_cls * (dp_cls - delta)                  # (N, 1)
 
         dq = jax.lax.dot_general(
             ds.astype(kh.dtype), kh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dq = (dq + ds_cls * ckh) * scale
+            preferred_element_type=jnp.float32) * scale
         dk = jax.lax.dot_general(
             ds.astype(qh.dtype), qh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -121,11 +140,10 @@ def _space_bwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref, lse_ref,
         dq_ref[0, 0, :, sl] = dq.astype(dq_ref.dtype)
         dk_ref[0, 0, :, sl] = dk.astype(dk_ref.dtype)
         dv_ref[0, 0, :, sl] = dv.astype(dv_ref.dtype)
-        dck = jnp.sum(ds_cls * qh.astype(jnp.float32), axis=0,
-                      keepdims=True) * scale               # (1, dh)
-        dcv = jnp.sum(p_cls * doh, axis=0, keepdims=True)
-        dck_ref[0, :, sl] += dck.astype(dck_ref.dtype)
-        dcv_ref[0, :, sl] += dcv.astype(dcv_ref.dtype)
+    # the CLS key's contribution to dq, full-width in one pass
+    dq_ref[0, 0] = (dq_ref[0, 0].astype(f32)
+                    + bcls * ck_ref[0].astype(f32) * scale
+                    ).astype(dq_ref.dtype)
 
 
 # ==========================================================================
@@ -258,13 +276,14 @@ def _time_bwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref, o_ref,
 
 
 def _space_specs(B, F, N, D, H):
+    Hp = -(-H // 128) * 128
     tok = pl.BlockSpec((1, 1, N, D), lambda b, f: (b, f, 0, 0),
                        memory_space=pltpu.VMEM)
     cls = pl.BlockSpec((1, 1, D), lambda b, f: (b, 0, 0),
                        memory_space=pltpu.VMEM)
-    lse = pl.BlockSpec((1, 1, N, H), lambda b, f: (b, f, 0, 0),
+    lse = pl.BlockSpec((1, 1, N, Hp), lambda b, f: (b, f, 0, 0),
                        memory_space=pltpu.VMEM)
-    return tok, cls, lse
+    return tok, cls, lse, Hp
 
 
 def _time_nblock(N, F, D, Hp, itemsize, bwd):
@@ -307,9 +326,9 @@ def _time_specs(B, F, N, D, H, itemsize, bwd=False):
 def _phase_fwd(qp, kp, vp, ck, cv, axis, heads, scale, interpret):
     B, F, N, D = qp.shape
     if axis == "space":
-        tok, cls, lse_spec = _space_specs(B, F, N, D, heads)
+        tok, cls, lse_spec, Hp = _space_specs(B, F, N, D, heads)
         grid = (B, F)
-        lse_shape = (B, F, N, heads)
+        lse_shape = (B, F, N, Hp)
         kernel = functools.partial(_space_fwd_kernel, heads=heads,
                                    scale=scale)
     else:
@@ -336,17 +355,14 @@ def _phase_bwd(qp, kp, vp, ck, cv, do, lse, out, axis, heads, scale,
                interpret):
     B, F, N, D = qp.shape
     if axis == "space":
-        delta = jnp.sum(
-            do.astype(jnp.float32).reshape(B, F, N, heads, D // heads)
-            * out.astype(jnp.float32).reshape(B, F, N, heads, D // heads),
-            axis=-1)                                      # (B, F, N, H)
-        tok, cls, lse_spec = _space_specs(B, F, N, D, heads)
+        tok, cls, lse_spec, Hp = _space_specs(B, F, N, D, heads)
         grid = (B, F)
         kernel = functools.partial(_space_bwd_kernel, heads=heads,
                                    scale=scale)
-        in_specs = [tok, tok, tok, cls, cls, tok, lse_spec, lse_spec]
+        # delta is computed in-kernel from (do, out) — head-segmented
+        in_specs = [tok, tok, tok, cls, cls, tok, tok, lse_spec]
         inputs = (qp, kp, vp, ck.reshape(B, 1, D), cv.reshape(B, 1, D),
-                  do, lse, delta)
+                  do, out, lse)
     else:
         tok, cls, lse_spec, Hp, grid = _time_specs(
             B, F, N, D, heads, qp.dtype.itemsize, bwd=True)

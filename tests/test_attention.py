@@ -81,3 +81,38 @@ def test_attention_causal_mask():
     out2 = np.asarray(attention(jnp.array(q), jnp.array(k2), jnp.array(v2),
                                 mask=causal_mask(L)))
     np.testing.assert_allclose(out[:, :-1], out2[:, :-1], atol=1e-6)
+
+
+def test_cls_row_attention_custom_vjp_matches_autodiff():
+    """The CLS row's hand-written VJP (mul-reduce form, bf16-safe temps)
+    vs jax autodiff of an einsum reference of the same math."""
+    import jax
+    from lavila_tpu.ops.attention import _cls_row_attention
+
+    rng = np.random.default_rng(7)
+    B, F, N, H, d = 2, 3, 5, 2, 8
+    shapes = [(B, 1, H, d)] * 3 + [(B, F, N, H, d)] * 2
+    args = [jnp.asarray(rng.normal(size=s), jnp.float32) for s in shapes]
+
+    def ref(cls_q, cls_k, cls_v, kp, vp):
+        scale = d ** -0.5
+        k = jnp.concatenate([cls_k, kp.reshape(B, F * N, H, d)], axis=1)
+        v = jnp.concatenate([cls_v, vp.reshape(B, F * N, H, d)], axis=1)
+        s = jnp.einsum("bqhd,bkhd->bhqk", cls_q * scale, k)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+    got = _cls_row_attention(*args)
+    want = ref(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(fn(*a) ** 2)
+
+    g_got = jax.grad(loss(_cls_row_attention), argnums=tuple(range(5)))(*args)
+    g_want = jax.grad(loss(ref), argnums=tuple(range(5)))(*args)
+    for a, b, name in zip(g_got, g_want,
+                          ["cls_q", "cls_k", "cls_v", "kp", "vp"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4, err_msg=name)
