@@ -36,9 +36,35 @@ def apply_top_k(logits: jax.Array, k: int,
 def apply_top_p(logits: jax.Array, p: float,
                 min_tokens_to_keep: int = 1) -> jax.Array:
     """Nucleus filtering: keep the smallest prefix (by descending prob)
-    with cumulative probability >= p; at least ``min_tokens_to_keep``."""
+    with cumulative probability >= p; at least ``min_tokens_to_keep``.
+
+    Implemented WITHOUT a vocab sort: the nucleus set is exactly
+    ``{i : prob_i >= t*}`` where ``t*`` (the boundary token's
+    probability) is the largest threshold whose retained mass
+    ``Σ prob_i·[prob_i >= t]`` still reaches ``p`` — found by bisection
+    on [0, max_prob] in ~40 full-width passes. A (B, 50257) sort costs
+    ~9 ms/step on v5e at B=128 (it dominated the whole decode step);
+    the bisection is ~0.5 ms and exact up to probability ties within
+    the terminal bisection interval (< 1e-11·max_prob).
+    ``min_tokens_to_keep > 1`` (beam search) keeps the sort path, which
+    can enforce the floor exactly."""
     if p >= 1.0:
         return logits
+    if min_tokens_to_keep <= 1:
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        hi = jnp.max(probs, axis=-1, keepdims=True)     # mass(hi) may < p
+        lo = jnp.zeros_like(hi)                         # mass(0) = 1 >= p
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            mass = jnp.sum(jnp.where(probs >= mid, probs, 0.0),
+                           axis=-1, keepdims=True)
+            ok = mass >= p                  # mid still keeps enough mass
+            return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, 40, body, (lo, hi))
+        return jnp.where(probs >= lo, logits, NEG_INF)
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)

@@ -155,3 +155,62 @@ def test_divided_phase_kernel_matches_grouped(axis):
                                        np.asarray(b)[:, 0],
                                        atol=5e-4, rtol=1e-3,
                                        err_msg=name + "_cls")
+
+
+@pytest.mark.parametrize("F,N", [(12, 8), (4, 52)])
+def test_divided_phase_time_kernel_tiled_geometries(F, N, monkeypatch):
+    """The segmented temporal kernel across its Nb-tiling regimes:
+    F > 8 (the long-clip branch) and an N that does not divide the
+    forced Nb=16 tile (edge-block padding + dck/dcv row masking)."""
+    from lavila_tpu.ops import attention as A
+    from lavila_tpu.ops.pallas import divided as DV
+    divided_phase = DV.divided_phase
+    if N > 16:
+        monkeypatch.setattr(
+            DV, "_time_nblock",
+            lambda N_, F_, D_, Hp_, it_, bwd: min(N_, 16))
+    rng = np.random.default_rng(11)
+    B, H, dh = 2, 3, 16
+    D = H * dh
+    L = 1 + F * N
+    scale = dh ** -0.5
+    q = jnp.asarray(rng.normal(size=(B, L, H, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, L, H, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, H, dh)), jnp.float32)
+
+    old = A.get_attention_backend()
+    A.set_attention_backend("grouped")
+    try:
+        want = A.divided_attention(q, k, v, F, "time")[:, 1:]
+
+        def loss_ref(q, k, v):
+            out = A.divided_attention(q, k, v, F, "time")[:, 1:]
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        A.set_attention_backend(old)
+
+    def kern(q, k, v):
+        return divided_phase(
+            q[:, 1:].reshape(B, F, N, D), k[:, 1:].reshape(B, F, N, D),
+            v[:, 1:].reshape(B, F, N, D), k[:, 0].reshape(B, D),
+            v[:, 0].reshape(B, D), "time", H, scale, True)
+
+    got = kern(q, k, v).reshape(B, F * N, H, dh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+    def loss_kern(q, k, v):
+        return jnp.sum(kern(q, k, v).astype(jnp.float32) ** 2)
+
+    gk = jax.grad(loss_kern, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gk, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a)[:, 1:],
+                                   np.asarray(b)[:, 1:],
+                                   atol=5e-4, rtol=1e-3, err_msg=name)
+        if name != "q":
+            np.testing.assert_allclose(np.asarray(a)[:, 0],
+                                       np.asarray(b)[:, 0],
+                                       atol=5e-4, rtol=1e-3,
+                                       err_msg=name + "_cls")

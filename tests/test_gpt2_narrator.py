@@ -129,3 +129,27 @@ def test_warpers():
     # entropy of uniform = log(V)
     ent = S.entropy(jnp.zeros((1, 16)))
     np.testing.assert_allclose(float(ent[0]), np.log(16), rtol=1e-5)
+
+
+def test_top_p_bisection_matches_sorted_nucleus():
+    """The sort-free nucleus filter must select exactly the same token
+    set as the sorted-cumsum (HF) formulation."""
+    import numpy as np
+    from lavila_tpu.models import sampling as S
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(8, 1000)) * 4, jnp.float32)
+    for p in (0.5, 0.9, 0.95, 0.999):
+        got = np.asarray(S.apply_top_p(logits, p))              # bisection
+        want = np.asarray(S.apply_top_p(logits, p,
+                                        min_tokens_to_keep=2))  # sort path
+        # compare kept masks; the sort path's floor of 2 only differs
+        # when the nucleus would have size 1 — exclude those rows
+        keep_got = got > S.NEG_INF / 2
+        keep_want = want > S.NEG_INF / 2
+        rows = keep_want.sum(-1) > 2
+        np.testing.assert_array_equal(keep_got[rows], keep_want[rows],
+                                      err_msg=f"p={p}")
+    # dominant-token case: nucleus collapses to the argmax
+    x = jnp.array([[0.0, 10.0, 0.0, 0.0]])
+    kept = np.asarray(S.apply_top_p(x, 0.9)) > S.NEG_INF / 2
+    np.testing.assert_array_equal(kept, [[False, True, False, False]])
