@@ -38,6 +38,8 @@ def timeit(fn, sync, iters=20, warmup=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--model", default="CLIP_OPENAI_TIMESFORMER_BASE")
+    ap.add_argument("--img-size", type=int, default=224)
     ap.add_argument("--backend", default="pallas")
     ap.add_argument("--remat", default="")
     ap.add_argument("--ablate", action="store_true",
@@ -56,12 +58,12 @@ def main():
     kw = {}
     if args.remat:
         kw = dict(remat=True, remat_policy=args.remat)
-    model = build_model("CLIP_OPENAI_TIMESFORMER_BASE", num_frames=4,
-                        dtype=jnp.bfloat16, **kw)
+    model = build_model(args.model, num_frames=4, dtype=jnp.bfloat16, **kw)
     rng = np.random.default_rng(0)
     batch = {
-        "frames": jnp.asarray(rng.normal(size=(B, 4, 224, 224, 3)),
-                              jnp.bfloat16),
+        "frames": jnp.asarray(
+            rng.normal(size=(B, 4, args.img_size, args.img_size, 3)),
+            jnp.bfloat16),
         "text": jnp.asarray(rng.integers(1, 49407, size=(B, 77)), jnp.int32),
     }
     params = model.init(jax.random.key(0), batch["frames"][:1],
