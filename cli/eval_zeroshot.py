@@ -45,6 +45,14 @@ def get_args_parser():
     p.add_argument("--clip-stride", type=int, default=16)
     p.add_argument("--num-clips", type=int, default=1)
     p.add_argument("--num-crops", type=int, default=1)
+    p.add_argument("--narration-selection", default="random",
+                   choices=["random", "concat", "list"],
+                   help="how list-valued narrations are used; 'list' "
+                        "scores every narration and pools")
+    p.add_argument("--narration-pool", default="max",
+                   choices=["max", "mean"],
+                   help="pooling over narrations when "
+                        "--narration-selection list")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--print-freq", type=int, default=10)
@@ -113,9 +121,14 @@ def crop_shape(model_name):
 
 
 def embed_dataset(model, variables, loader, has_mask=False):
-    """Encode all (video, text) pairs → L2-normalized embedding arrays.
-    Multi-view batches (B, views, T, H, W, C) are encoded per view and
-    mean-pooled over normalized view embeddings (then re-normalized)."""
+    """Encode all (video, text) pairs → L2-normalized embedding arrays
+    ``(v, t, n_narrations)``.  Multi-view batches (B, views, T, H, W, C)
+    are encoded per view and mean-pooled over normalized view embeddings
+    (then re-normalized).  Multiple-narrations batches — text of shape
+    (B, n, L) from ``narration_selection='list'`` — are flattened for
+    encoding, so ``t`` has B·n rows and ``n_narrations`` = n (reference
+    eval_zeroshot.py:316-333 reshapes the similarity matrix to
+    (V, V, n) downstream)."""
     enc_i = jax.jit(lambda v, f: model.apply(v, f, method="encode_image"))
     if has_mask:
         enc_t = jax.jit(lambda v, t, m: model.apply(
@@ -124,6 +137,7 @@ def embed_dataset(model, variables, loader, has_mask=False):
         enc_t = jax.jit(lambda v, t: model.apply(
             v, t, method="encode_text"))
     vids, txts = [], []
+    n_narr = 1
     for batch in loader:
         frames = np.asarray(batch["frames"])
         views = 1
@@ -135,29 +149,49 @@ def embed_dataset(model, variables, loader, has_mask=False):
             iv /= np.maximum(np.linalg.norm(iv, axis=1, keepdims=True),
                              1e-8)
             iv = iv.reshape(-1, views, iv.shape[-1]).mean(axis=1)
+        text = np.asarray(batch["text"])
+        mask = np.asarray(batch["mask"]) if has_mask else None
+        if text.ndim == 3:  # (B, n_narrations, L)
+            n_narr = text.shape[1]
+            text = text.reshape(-1, text.shape[-1])
+            if mask is not None:
+                mask = mask.reshape(-1, mask.shape[-1])
         if has_mask:
-            tv = enc_t(variables, jnp.asarray(batch["text"]),
-                       jnp.asarray(batch["mask"]))
+            tv = enc_t(variables, jnp.asarray(text), jnp.asarray(mask))
         else:
-            tv = enc_t(variables, jnp.asarray(batch["text"]))
+            tv = enc_t(variables, jnp.asarray(text))
         vids.append(iv)
         txts.append(np.asarray(tv, np.float32))
     v = np.concatenate(vids)
     t = np.concatenate(txts)
     v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-8)
     t /= np.maximum(np.linalg.norm(t, axis=1, keepdims=True), 1e-8)
-    return v, t
+    return v, t, n_narr
 
 
 def eval_ek100_mir(model, variables, tokenizer, model_name, *, root,
                    metadata, clip_length, clip_stride, batch_size,
-                   workers, num_clips=1, num_crops=1):
+                   workers, num_clips=1, num_crops=1,
+                   narration_selection="random", narration_pool="max"):
     """EK-100 MIR retrieval eval. Explicit keyword signature so in-train
     probes cannot silently drift from the CLI (no duck-typed namespaces).
     ``num_clips``/``num_crops`` enable the multi-view protocol; per-view
     embeddings are mean-pooled (reference applies Temporal/SpatialCrop to
-    the MIR val path, eval_zeroshot.py:117-125)."""
-    from lavila_tpu.data.datasets import load_ek100_mir_relevancy
+    the MIR val path, eval_zeroshot.py:117-125).
+
+    Scoring follows the reference's sentence-csv protocol
+    (eval_zeroshot.py:174-190): the raw similarity matrix is
+    (n_videos x n_videos) — one text column per video row — and the
+    relevancy matrix is (n_videos x n_sentences) over the UNIQUE
+    sentences, so columns are selected by mapping each sentence id onto
+    the video row carrying that narration before mAP/nDCG.
+
+    ``narration_selection='list'`` (multiple narrations per clip) yields
+    a (V, V, n) similarity tensor (reference eval_zeroshot.py:316-333)
+    that is pooled over narrations with ``narration_pool`` (max/mean)
+    before column selection."""
+    from lavila_tpu.data.datasets import (load_ek100_mir_relevancy,
+                                          load_ek100_video_ids)
     mean, std = T.normalization_for_model(model_name)
     crop = crop_shape(model_name)[0]
     transform = T.EvalTransform(crop, mean, std,
@@ -168,15 +202,31 @@ def eval_ek100_mir(model, variables, tokenizer, model_name, *, root,
                          metadata=metadata,
                          clip_length=clip_length,
                          clip_stride=clip_stride,
-                         num_clips=num_clips)
+                         num_clips=num_clips,
+                         narration_selection=narration_selection)
     ds = VideoCaptionDataset(dcfg, transform, tokenizer, is_training=False)
     loader = DataLoader(ds, batch_size, shuffle=False, drop_last=False,
                         num_workers=workers)
-    v, t = embed_dataset(model, variables, loader,
-                         has_mask="DISTILBERT" in model_name)
+    v, t, n_narr = embed_dataset(model, variables, loader,
+                                 has_mask="DISTILBERT" in model_name)
     sim = v @ t.T
+    if n_narr > 1:  # (V, V·n) → (V, V, n) → pool over narrations
+        sim = sim.reshape(v.shape[0], v.shape[0], n_narr)
+        sim = sim.max(axis=2) if narration_pool == "max" else \
+            sim.mean(axis=2)
     sim = (sim + 1) / 2  # rescale (reference eval_zeroshot.py:174)
-    _, rel = load_ek100_mir_relevancy(metadata)
+    mir = load_ek100_mir_relevancy(metadata)
+    video_ids = load_ek100_video_ids(metadata)
+    # reference eval_zeroshot.py:176-179: one column per unique sentence,
+    # taken from the video row whose narration id matches
+    row_of = {vid: k for k, vid in enumerate(video_ids)}
+    indexes = [row_of[sid] for sid in mir.sentence_ids]
+    sim = sim[:, indexes]
+    rel = mir.rel
+    if sim.shape != rel.shape:
+        raise ValueError(
+            f"similarity {sim.shape} vs relevancy {rel.shape}: metadata "
+            "csv / sentence csv / relevancy pkl disagree")
     v_map, t_map, avg_map = M.retrieval_map(sim, rel)
     v_ndcg, t_ndcg, avg_ndcg = M.retrieval_ndcg(sim, rel)
     out = {"mAP_v2t": v_map, "mAP_t2v": t_map, "mAP_avg": avg_map,
@@ -318,7 +368,9 @@ def main(args):
             metadata=args.metadata, clip_length=args.clip_length,
             clip_stride=args.clip_stride, batch_size=args.batch_size,
             workers=args.workers, num_clips=args.num_clips,
-            num_crops=args.num_crops)
+            num_crops=args.num_crops,
+            narration_selection=args.narration_selection,
+            narration_pool=args.narration_pool)
     elif args.dataset == "ego4d_mcq":
         out = eval_mcq(args, model, variables, tokenizer, model_name)
     elif args.dataset in ("ek100_cls", "egtea", "charades_ego"):

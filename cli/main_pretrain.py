@@ -30,7 +30,8 @@ from lavila_tpu.data.datasets import ConcatDataset, DatasetConfig, get_dataset
 from lavila_tpu.data.loader import DataLoader
 from lavila_tpu.data.tokenizers import generate_tokenizer
 from lavila_tpu.models import build_model
-from lavila_tpu.parallel import create_mesh, shard_batch, shard_params
+from lavila_tpu.parallel import (create_mesh, param_sharding_rules,
+                                 shard_batch, shard_params)
 from lavila_tpu.train.optim import cosine_schedule, make_optimizer
 from lavila_tpu.train.step import (TrainState, make_caption_train_step,
                                    make_clip_train_step)
@@ -153,7 +154,12 @@ def main(cfg: PretrainConfig):
         best_metric = float(meta.get("metrics", {}).get(
             "best_metric", float("-inf")))
 
-    state = state.replace(params=shard_params(state.params, mesh))
+    # --mesh-model N > 1: Megatron-style TP over the 'model' axis (column
+    # /row-parallel rules, parallel/sharding.py); opt state inherits the
+    # param shardings through TrainState. With model=1 the rules reduce
+    # to replicate-everything.
+    rules = param_sharding_rules if cfg.mesh_model > 1 else None
+    state = state.replace(params=shard_params(state.params, mesh, rules))
 
     if is_vclm:
         step_fn = jax.jit(make_caption_train_step(

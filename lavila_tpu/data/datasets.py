@@ -20,7 +20,7 @@ import json
 import os.path as osp
 import pickle
 from dataclasses import dataclass
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, NamedTuple, Optional, Sequence
 
 import numpy as np
 
@@ -75,15 +75,39 @@ def parse_ek100_metadata(root: str, metadata: str,
     return samples
 
 
-def load_ek100_mir_relevancy(metadata: str):
+class Ek100MirRelevancy(NamedTuple):
+    """EK-100 MIR side files: the sentence csv (one row per UNIQUE
+    narration, first column = narration id) and the (n_videos x
+    n_sentences) graded relevancy matrix. ``sentence_ids`` drive the
+    reference's column-selection protocol (eval_zeroshot.py:176-179):
+    each sentence's similarity column is taken from the video row whose
+    narration id matches."""
+    sentence_ids: list
+    sentences: list
+    rel: np.ndarray
+
+
+def load_ek100_video_ids(metadata: str) -> list:
+    """First column (narration id) of each video row of the EK100 csv —
+    the reference's ``pd.read_csv(metadata).values[:, 0]``
+    (eval_zeroshot.py:176)."""
+    with open(metadata) as f:
+        reader = csv.reader(f)
+        next(reader)
+        return [row[0] for row in reader]
+
+
+def load_ek100_mir_relevancy(metadata: str) -> Ek100MirRelevancy:
     """Sentence csv + relevancy pkl that sit next to the EK100 csv
     (reference datasets.py:136-144)."""
     base = metadata[:metadata.index(".csv")]
-    sentences = []
+    sentence_ids, sentences = [], []
     with open(base + "_sentence.csv") as f:
         reader = csv.reader(f)
         next(reader)
-        sentences = [row[1] for row in reader]
+        for row in reader:
+            sentence_ids.append(row[0])
+            sentences.append(row[1])
     base = osp.basename(metadata)
     if "train" in base:
         rel_name = "caption_relevancy_EPIC_100_retrieval_train.pkl"
@@ -94,7 +118,7 @@ def load_ek100_mir_relevancy(metadata: str):
     with open(osp.join(osp.dirname(metadata), "relevancy", rel_name),
               "rb") as f:
         rel = pickle.load(f)
-    return sentences, np.asarray(rel)
+    return Ek100MirRelevancy(sentence_ids, sentences, np.asarray(rel))
 
 
 def parse_egtea_metadata(root: str, metadata: str,
@@ -197,8 +221,9 @@ class VideoMetadataBase:
         elif d in ("ek100_cls", "ek100_mir"):
             self.samples = parse_ek100_metadata(cfg.root, cfg.metadata)
             if d == "ek100_mir":
-                self.metadata_sentences, self.relevancy_mat = \
-                    load_ek100_mir_relevancy(cfg.metadata)
+                mir = load_ek100_mir_relevancy(cfg.metadata)
+                self.metadata_sentences = mir.sentences
+                self.relevancy_mat = mir.rel
         elif d == "egtea":
             self.samples = parse_egtea_metadata(cfg.root, cfg.metadata)
         elif d == "charades_ego":

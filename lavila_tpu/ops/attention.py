@@ -26,12 +26,14 @@ import os
 import jax
 import jax.numpy as jnp
 
-# 'xla' (default; unrolled VPU temporal path + grouped-matmul spatial),
 # 'pallas' (fused divided-phase kernels for BOTH phases — the production
-# TPU path, see ops/pallas/divided.py), or 'grouped' (force the
-# transposed-matmul formulation everywhere; oracle/testing). Set
-# LAVILA_ATTENTION or call set_attention_backend().
-_BACKEND = os.environ.get("LAVILA_ATTENTION", "xla")
+# TPU path, see ops/pallas/divided.py; the DEFAULT on TPU backends),
+# 'xla' (unrolled VPU temporal path + grouped-matmul spatial; the default
+# everywhere else), or 'grouped' (force the transposed-matmul formulation
+# everywhere; oracle/testing). Set LAVILA_ATTENTION or call
+# set_attention_backend() to override. Resolution is lazy so importing
+# this module never initializes a JAX backend.
+_BACKEND = os.environ.get("LAVILA_ATTENTION") or None
 
 
 def set_attention_backend(name: str) -> None:
@@ -41,6 +43,12 @@ def set_attention_backend(name: str) -> None:
 
 
 def get_attention_backend() -> str:
+    """Active backend; on first use without an explicit choice, picks
+    'pallas' on TPU and 'xla' elsewhere (the production kernel is the
+    production default — no env var needed)."""
+    global _BACKEND
+    if _BACKEND is None:
+        _BACKEND = ("pallas" if jax.default_backend() == "tpu" else "xla")
     return _BACKEND
 
 
@@ -237,7 +245,7 @@ def divided_attention_split(cls_q: jax.Array, cls_k: jax.Array,
 
     cls_out = _cls_row_attention(cls_q, cls_k, cls_v, kp, vp)
 
-    if _BACKEND == "pallas":
+    if get_attention_backend() == "pallas":
         # fused divided-phase kernels for BOTH phases (scores, softmax,
         # PV, CLS key folded in — the whole phase per block in VMEM from
         # the token-major layout; no grouped relayout, no fp32 score
@@ -257,7 +265,7 @@ def divided_attention_split(cls_q: jax.Array, cls_k: jax.Array,
             cls_v.reshape(B, D), axis, H, scale)
         return cls_out, patches.reshape(B, F, N, H, d)
 
-    if axis == "time" and F <= 8 and _BACKEND == "xla":
+    if axis == "time" and F <= 8 and get_attention_backend() == "xla":
         # XLA temporal path: unrolled VPU formulation, no relayout
         patches = _time_attention_unrolled(qp, kp, vp, cls_k, cls_v, scale)
         return cls_out, patches

@@ -82,7 +82,7 @@ def test_pretrain_with_ek100_probe(tmp_path):
     meta = tmp_path / "EPIC_100_retrieval_test.csv"
     meta.write_text(header + "".join(rows))
     (tmp_path / "EPIC_100_retrieval_test_sentence.csv").write_text(
-        "id,narration\n0,sent 0\n1,sent 1\n")
+        "narration_id,narration\nP01_0,narr 0\nP01_1,narr 1\n")
     (tmp_path / "relevancy").mkdir()
     with open(tmp_path / "relevancy" /
               "caption_relevancy_EPIC_100_retrieval_test.pkl", "wb") as f:

@@ -13,6 +13,12 @@ from lavila_tpu.data.video import encode_test_video
 
 @pytest.fixture()
 def ek100_fixture(tmp_path):
+    """NON-square EK-100 MIR fixture: 4 video rows, two of which (2, 3)
+    share a narration, so the sentence csv has 3 unique sentences and
+    the relevancy matrix is (4, 3).  This is the real EK-100 shape
+    (9668 videos x 3801 sentences) — a square fixture hides any eval
+    that skips the reference's sentence-csv column selection
+    (reference eval_zeroshot.py:176-179)."""
     root = tmp_path / "vids"
     (root / "P01").mkdir(parents=True)
     encode_test_video(str(root / "P01" / "P01_01.MP4"), 64, 64, 30, 120)
@@ -20,19 +26,24 @@ def ek100_fixture(tmp_path):
               "start_timestamp,stop_timestamp,start_frame,stop_frame,"
               "narration,verb,verb_class,noun,noun_class,all_nouns,"
               "all_noun_classes\n")
+    narrs = ["narration 0", "narration 1", "narration 2", "narration 2"]
     rows = [
         f"P01_{i},P01,P01_01,00:00:00.0,00:00:0{i}.0,00:00:0{i + 2}.0,"
-        f"0,60,narration {i},verb,0,noun,{i},[],[]\n"
-        for i in range(3)
+        f"0,60,{narrs[i]},verb,0,noun,{i},[],[]\n"
+        for i in range(4)
     ]
     meta = tmp_path / "EPIC_100_retrieval_test.csv"
     meta.write_text(header + "".join(rows))
+    # one row per UNIQUE sentence; first column is the narration id of a
+    # video row carrying that sentence (videos 2 and 3 share P01_2's)
     sent = tmp_path / "EPIC_100_retrieval_test_sentence.csv"
-    sent.write_text("id,narration\n" + "".join(
-        f"{i},sentence {i}\n" for i in range(3)))
+    sent.write_text("narration_id,narration\n" + "".join(
+        f"P01_{i},{narrs[i]}\n" for i in range(3)))
     rel_dir = tmp_path / "relevancy"
     rel_dir.mkdir()
-    rel = np.eye(3, dtype=np.float32)
+    rel = np.zeros((4, 3), dtype=np.float32)
+    for i in range(4):
+        rel[i, min(i, 2)] = 1.0
     with open(rel_dir / "caption_relevancy_EPIC_100_retrieval_test.pkl",
               "wb") as f:
         pickle.dump(rel, f)
@@ -49,6 +60,79 @@ def test_eval_ek100_mir_cli(ek100_fixture):
     out = main(args)
     for k in ("mAP_avg", "nDCG_avg"):
         assert 0.0 <= out[k] <= 1.0
+
+
+def test_eval_ek100_mir_sentence_column_selection(ek100_fixture,
+                                                  monkeypatch):
+    """The scored similarity matrix must be (n_videos, n_sentences) with
+    columns selected via the sentence csv — videos 2 and 3 share one
+    sentence, so the 4x4 raw matrix becomes 4x3 and the shared
+    sentence's column comes from video row 2 (its representative
+    narration id).  Skipping the selection (pre-fix behavior) feeds a
+    4x4 matrix to a (4, 3) relevancy matrix and IndexErrors."""
+    root, meta = ek100_fixture
+    import cli.eval_zeroshot as ez
+    from lavila_tpu.eval import metrics as M
+    seen = []
+    orig = M.retrieval_map
+
+    def spy(sim, rel):
+        seen.append((sim.shape, rel.shape))
+        return orig(sim, rel)
+
+    monkeypatch.setattr(ez.M, "retrieval_map", spy)
+    args = ez.get_args_parser().parse_args([
+        "--dataset", "ek100_mir", "--root", root, "--metadata", meta,
+        "--model", "CLIP_OPENAI_TIMESFORMER_MINI", "--clip-length", "4",
+        "--batch-size", "2", "--workers", "2"])
+    out = ez.main(args)
+    assert seen == [((4, 3), (4, 3))]
+    assert np.isfinite(out["mAP_avg"])
+
+
+def test_embed_dataset_multiple_narrations(tmp_path):
+    """narration_selection='list': ego4d samples carrying n narrations
+    produce (B, n, L) token batches; embed_dataset flattens them so the
+    text embedding matrix has V*n rows and reports n, enabling the
+    (V, V, n) similarity protocol (reference eval_zeroshot.py:316-333)."""
+    import jax
+    from cli.eval_zeroshot import embed_dataset
+    from lavila_tpu.data.datasets import DatasetConfig, VideoCaptionDataset
+    from lavila_tpu.data.loader import DataLoader
+    from lavila_tpu.data.tokenizers import generate_tokenizer
+    from lavila_tpu.models import build_model
+    import jax.numpy as jnp
+
+    samples = [("synthetic", 0.0, 2.0,
+                [f"first narration {i}", f"second narration {i}"])
+               for i in range(4)]
+    meta = tmp_path / "ego4d_val.pkl"
+    with open(meta, "wb") as f:
+        pickle.dump(samples, f)
+
+    root = tmp_path / "vids"
+    (root / "synthetic.mp4").mkdir(parents=True)
+    encode_test_video(str(root / "synthetic.mp4" / "0.mp4"), 64, 64, 30, 90)
+
+    tok = generate_tokenizer("CLIP_OPENAI_TIMESFORMER_MINI")
+    model = build_model("CLIP_OPENAI_TIMESFORMER_MINI")
+    frames = jnp.zeros((1, 4, 64, 64, 3), jnp.float32)
+    text = jnp.zeros((1, 77), jnp.int32)
+    variables = {"params": model.init(
+        jax.random.key(0), frames, text)["params"]}
+
+    dcfg = DatasetConfig(dataset="ego4d", root=str(root), metadata=str(meta),
+                         clip_length=4, narration_selection="list")
+    ds = VideoCaptionDataset(dcfg, None, tok, is_training=False)
+    loader = DataLoader(ds, 2, shuffle=False, drop_last=False,
+                        num_workers=0)
+    v, t, n_narr = embed_dataset(model, variables, loader)
+    assert n_narr == 2
+    assert v.shape[0] == 4 and t.shape[0] == 8
+    sim = (v @ t.T).reshape(4, 4, 2)
+    pooled = sim.max(axis=2)
+    assert pooled.shape == (4, 4)
+    assert np.all(pooled >= sim[:, :, 0] - 1e-6)
 
 
 def test_eval_ek100_mir_cli_multiview(ek100_fixture, monkeypatch):

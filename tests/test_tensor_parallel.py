@@ -111,3 +111,23 @@ def test_dual_encoder_tp_rules_cover_wide_layers():
     # norms replicated
     ln = [k for k in specs if "norm" in k and "scale" in k]
     assert ln and all(specs[k] == P() for k in ln)
+
+
+def test_pretrain_cli_mesh_model_shards_params(tmp_path):
+    """`--mesh-model 2` through the ACTUAL pretrain CLI must apply the
+    TP rules — previously the flag built the axis but silently left
+    every param replicated (round-2 verdict #2)."""
+    from cli.main_pretrain import main
+    from lavila_tpu.config import PretrainConfig, parse_config
+
+    cfg = parse_config(PretrainConfig, [
+        "--dataset", "synthetic", "--model", "CLIP_OPENAI_TIMESFORMER_MINI",
+        "--steps", "1", "--batch-size", "8", "--epochs", "1",
+        "--clip-length", "4", "--output-dir", str(tmp_path / "run"),
+        "--workers", "2", "--disable-amp",
+        "--mesh-data", "4", "--mesh-model", "2"])
+    state = main(cfg)
+    flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    sharded = [jax.tree_util.keystr(p) for p, l in flat
+               if not l.sharding.is_fully_replicated]
+    assert any("qkv" in k for k in sharded), sharded[:5]
