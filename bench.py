@@ -22,6 +22,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
+# Current single-chip TSF-B train throughput (the compute bench above),
+# used by --data to express pipeline headroom. Keep in sync with the
+# latest BENCH_r*.json.
+CHIP_CLIPS_PER_SEC = 173.75
+
 
 def flops_per_clip(img=224, patch=16, frames=4, depth=12, dim=768,
                    text_len=77, text_dim=512, text_depth=12):
@@ -217,9 +222,9 @@ def data_pipeline_bench(num_videos: int = 8, batch_size: int = 16,
         "metric": "input_pipeline_clips_per_sec_per_core",
         "value": round(per_core, 2),
         "unit": "clips/sec/core (decode 256p + crop 224 + normalize)",
-        "vs_baseline": round(105.5 / per_core, 2),
+        "vs_baseline": round(CHIP_CLIPS_PER_SEC / per_core, 2),
         "note": "vs_baseline = host cores needed to saturate one chip's "
-                "105.5 clips/s (TPU-VM hosts have >100)",
+                f"{CHIP_CLIPS_PER_SEC} clips/s (TPU-VM hosts have >100)",
     }))
 
 

@@ -32,7 +32,7 @@ from lavila_tpu.parallel import create_mesh, shard_batch, shard_params
 from lavila_tpu.train.optim import (cosine_schedule, lr_multiplier_labels,
                                     make_optimizer, wd_mask)
 from lavila_tpu.train.step import TrainState, make_classifier_train_step
-from lavila_tpu.utils.checkpoints import CheckpointManager
+from lavila_tpu.utils.checkpoints import CheckpointManager, resolve_resume
 from lavila_tpu.utils.meters import AverageMeter, Timer
 from lavila_tpu.utils.random import random_seed
 
@@ -47,6 +47,7 @@ def get_args_parser():
     p.add_argument("--metadata-val", default="")
     p.add_argument("--label-metadata", default="")
     p.add_argument("--pretrain-model", default="")
+    p.add_argument("--resume", default="")
     p.add_argument("--model", default="CLIP_OPENAI_TIMESFORMER_MINI")
     p.add_argument("--num-classes", type=int, default=0)
     p.add_argument("--use-vn-classifier", action="store_true",
@@ -69,6 +70,8 @@ def get_args_parser():
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--print-freq", type=int, default=10)
+    p.add_argument("--eval-freq", type=int, default=1)
+    p.add_argument("--save-freq", type=int, default=1)
     p.add_argument("--steps", type=int, default=0)
     p.add_argument("--output-dir", default="./ft_cls")
     return p
@@ -245,6 +248,24 @@ def main(args):
                                     use_sgd=args.use_sgd)},
         lr_multiplier_labels)
     state = TrainState.create(params, tx)
+
+    mgr = CheckpointManager(args.output_dir)
+    start_epoch = 0
+    best_metric = float("-inf")
+    # auto-resume over --resume, best metric restored (reference
+    # main_finetune_classification.py:252-287 best_acc1 contract)
+    resume = resolve_resume(args.output_dir, args.resume or None)
+    if resume:
+        print(f"=> resuming from {resume}")
+        tree, meta = mgr.restore(
+            {"params": state.params, "opt_state": state.opt_state},
+            tag=resume)
+        state = state.replace(params=tree["params"],
+                              opt_state=tree["opt_state"])
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        best_metric = float(meta.get("metrics", {}).get(
+            "best_metric", float("-inf")))
+
     state = state.replace(params=shard_params(state.params, mesh))
 
     def with_multihead_labels(batch):
@@ -262,10 +283,9 @@ def main(args):
         clf, multihead=args.use_vn_classifier,
         label_smoothing=args.label_smoothing), donate_argnums=(0,))
 
-    mgr = CheckpointManager(args.output_dir)
     rng = jax.random.key(args.seed + 7)
     total = 0
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         loader.set_epoch(epoch)
         loss_m = AverageMeter("loss", ":.4f")
         acc_m = AverageMeter("acc1", ":.2f")
@@ -283,15 +303,34 @@ def main(args):
             total += 1
             if args.steps and total >= args.steps:
                 break
-        if jax.process_index() == 0:
-            mgr.save({"params": jax.device_get(state.params)}, epoch=epoch,
-                     config={**config, "num_classes": num_classes})
+        # per-epoch validation (reference main_finetune_classification.py
+        # :416+ validates every epoch and tracks best_acc1)
+        val_metrics = {}
+        is_best = False
+        if (args.metadata_val and args.dataset != "synthetic"
+                and (epoch + 1) % args.eval_freq == 0):
+            val_metrics = validate(args, clf, state.params, mapping,
+                                   num_classes, multihead_parts,
+                                   model_name, labels)
+            print(json.dumps(val_metrics))
+            key = val_metrics.get("video_mAP",
+                                  val_metrics.get("acc1", float("-inf")))
+            if key > best_metric:
+                is_best, best_metric = True, key
+        # collective save: ALL processes enter (orbax writes sharded
+        # leaves per-host; process-0-only saving deadlocks a pod — same
+        # contract as cli/main_pretrain.py)
+        mgr.save({"params": state.params, "opt_state": state.opt_state},
+                 epoch=epoch,
+                 config={**config, "num_classes": num_classes},
+                 metrics={**val_metrics, "best_metric": best_metric},
+                 is_best=is_best,
+                 keep_epoch=(epoch + 1) % args.save_freq == 0)
+        if jax.process_index() == 0 and val_metrics:
+            with open(osp.join(mgr.output_dir, "log.txt"), "a") as f:
+                f.write(json.dumps({**val_metrics, "epoch": epoch}) + "\n")
         if args.steps and total >= args.steps:
             break
-    if args.metadata_val and args.dataset != "synthetic":
-        metrics = validate(args, clf, state.params, mapping, num_classes,
-                           multihead_parts, model_name, labels)
-        print(json.dumps(metrics))
     print("=> done")
     return state
 

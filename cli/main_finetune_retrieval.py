@@ -1,30 +1,32 @@
 """Retrieval fine-tuning: EK-100 MIR (adaptive max-margin with relevancy
-weights) or CharadesEgo (InfoNCE on trimmed clips).
+weights) or CharadesEgo (InfoNCE on trimmed clips, classification-mAP
+validation on the untrimmed val set).
 
 Equivalent of the reference main_finetune_retrieval.py: rebuilds the
 pretrained dual encoder from the checkpoint's embedded config, freezes
-the logit scale (reference :142), trains with the margin loss, and
-evaluates retrieval mAP/nDCG per epoch.
+the logit scale (reference :142), trains with the margin loss
+(ek100_mir) or CLIP loss (charades_ego), and validates per epoch —
+retrieval mAP/nDCG for MIR (reference :318,367), prompt-ensembled
+multilabel classification mAP for CharadesEgo (reference :319-320,
+368-369, validate_cls :569-644). Auto-resume restores params, optimizer
+state, and the best metric (reference :182-217); the best checkpoint is
+tracked on the per-epoch val metric.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-import math
-import os
 import os.path as osp
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from lavila_tpu.config import model_kwargs_from_config
 from lavila_tpu.data import transforms as T
 from lavila_tpu.data.datasets import DatasetConfig, VideoCaptionDataset
 from lavila_tpu.data.loader import DataLoader
 from lavila_tpu.data.tokenizers import generate_tokenizer
-from lavila_tpu.eval import metrics as M
 from lavila_tpu.models import build_model
 from lavila_tpu.parallel import create_mesh, shard_batch, shard_params
 from lavila_tpu.train.optim import cosine_schedule, make_optimizer
@@ -37,15 +39,26 @@ from lavila_tpu.utils.random import random_seed
 def get_args_parser():
     p = argparse.ArgumentParser("retrieval fine-tune")
     p.add_argument("--dataset", default="ek100_mir",
-                   choices=["ek100_mir", "charades_ego_trimmed",
-                            "synthetic"])
+                   choices=["ek100_mir", "charades_ego",
+                            "charades_ego_trimmed", "synthetic"],
+                   help="charades_ego trains on the trimmed-pkl clips "
+                        "and validates classification-style on the "
+                        "untrimmed csv (reference :281-295); "
+                        "charades_ego_trimmed is the train-only alias")
     p.add_argument("--root", default="")
     p.add_argument("--metadata", default="")
     p.add_argument("--metadata-val", default="")
+    p.add_argument("--label-metadata", default="",
+                   help="Charades_v1_classes.txt for charades_ego "
+                        "validation")
     p.add_argument("--pretrain-model", default="")
+    p.add_argument("--resume", default="")
     p.add_argument("--model", default="CLIP_OPENAI_TIMESFORMER_MINI")
     p.add_argument("--clip-length", type=int, default=16)
     p.add_argument("--clip-stride", type=int, default=4)
+    p.add_argument("--num-clips", type=int, default=1)
+    p.add_argument("--num-crops", type=int, default=1)
+    p.add_argument("--sparse-sample", action="store_true")
     p.add_argument("--norm-embed", action="store_true", default=True)
     p.add_argument("--loss", default="adaptive_max_margin",
                    choices=["max_margin", "adaptive_max_margin", "clip"])
@@ -61,10 +74,30 @@ def get_args_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--print-freq", type=int, default=10)
     p.add_argument("--eval-freq", type=int, default=5)
+    p.add_argument("--save-freq", type=int, default=1)
     p.add_argument("--steps", type=int, default=0)
     p.add_argument("--use-checkpoint", action="store_true")
     p.add_argument("--output-dir", default="./ft_retrieval")
     return p
+
+
+def validate_charades(args, model, variables, tokenizer, model_name):
+    """Per-epoch CharadesEgo validation: prompt-ensembled label
+    embeddings + multilabel video mAP on the untrimmed val csv
+    (reference validate_cls, main_finetune_retrieval.py:569-644; the
+    template set is just '{}', :319)."""
+    from cli.eval_zeroshot import eval_classification
+    from lavila_tpu.data.label_maps import generate_label_map
+    labels, mapping = generate_label_map("charades_ego",
+                                         metadata=args.label_metadata)
+    ns = argparse.Namespace(
+        dataset="charades_ego", root=args.root, metadata=args.metadata_val,
+        metadata_val=args.metadata_val, clip_length=args.clip_length,
+        clip_stride=args.clip_stride, num_clips=args.num_clips,
+        num_crops=args.num_crops, batch_size=args.batch_size,
+        workers=args.workers)
+    return eval_classification(ns, model, variables, tokenizer, model_name,
+                               labels, mapping, multilabel=True)
 
 
 def main(args):
@@ -89,8 +122,12 @@ def main(args):
     mean, std = T.normalization_for_model(model_name)
     train_transform = T.TrainTransform(crop, mean, std)
 
-    dataset_name = args.dataset
-    dcfg = DatasetConfig(dataset=dataset_name, root=args.root,
+    # charades_ego trains on the TRIMMED action instances (pkl) and
+    # validates on the untrimmed csv (reference :281-295)
+    train_dataset_name = ("charades_ego_trimmed"
+                         if args.dataset == "charades_ego"
+                         else args.dataset)
+    dcfg = DatasetConfig(dataset=train_dataset_name, root=args.root,
                          metadata=args.metadata,
                          clip_length=args.clip_length,
                          clip_stride=args.clip_stride)
@@ -117,14 +154,47 @@ def main(args):
                                         args.lr_start),
                         weight_decay=args.wd)
     state = TrainState.create(params, tx)
-    state = state.replace(params=shard_params(state.params, mesh))
-    step_fn = jax.jit(make_retrieval_train_step(
-        model, loss_type=args.loss, margin=args.margin,
-        norm_embed=args.norm_embed), donate_argnums=(0,))
 
     mgr = CheckpointManager(args.output_dir)
+    start_epoch = 0
+    best_metric = float("-inf")
+    # auto-resume: a checkpoint in output_dir wins over --resume
+    # (reference main_finetune_retrieval.py:182-217 incl. best_acc1)
+    resume = resolve_resume(args.output_dir, args.resume or None)
+    if resume:
+        print(f"=> resuming from {resume}")
+        tree, meta = mgr.restore(
+            {"params": state.params, "opt_state": state.opt_state},
+            tag=resume)
+        state = state.replace(params=tree["params"],
+                              opt_state=tree["opt_state"])
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        best_metric = float(meta.get("metrics", {}).get(
+            "best_metric", float("-inf")))
+
+    state = state.replace(params=shard_params(state.params, mesh))
+    loss_type = ("clip" if args.dataset.startswith("charades")
+                 else args.loss)
+    step_fn = jax.jit(make_retrieval_train_step(
+        model, loss_type=loss_type, margin=args.margin,
+        norm_embed=args.norm_embed), donate_argnums=(0,))
+
+    def run_validation():
+        if args.dataset == "ek100_mir":
+            from cli.eval_zeroshot import eval_ek100_mir
+            out = eval_ek100_mir(
+                model, {"params": state.params}, tokenizer, model_name,
+                root=args.root, metadata=args.metadata_val,
+                clip_length=args.clip_length, clip_stride=args.clip_stride,
+                batch_size=args.batch_size, workers=args.workers,
+                num_clips=args.num_clips, num_crops=args.num_crops)
+            return out, out["mAP_avg"]
+        out = validate_charades(args, model, {"params": state.params},
+                                tokenizer, model_name)
+        return out, out["video_mAP"]
+
     total = 0
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         loader.set_epoch(epoch)
         loss_m = AverageMeter("loss", ":.4f")
         timer = Timer()
@@ -133,7 +203,7 @@ def main(args):
             if "mask" in batch:
                 keys.append("mask")
             db = {k: jnp.asarray(batch[k]) for k in keys}
-            if args.loss == "adaptive_max_margin":
+            if loss_type == "adaptive_max_margin":
                 db["relevancy"] = jnp.asarray(batch["relevancy"],
                                               jnp.float32)
             db = shard_batch(db, mesh)
@@ -146,18 +216,24 @@ def main(args):
             total += 1
             if args.steps and total >= args.steps:
                 break
-        if jax.process_index() == 0:
-            mgr.save({"params": jax.device_get(state.params)}, epoch=epoch,
-                     config=config)
-        if (args.metadata_val and args.dataset == "ek100_mir"
-                and (epoch + 1) % args.eval_freq == 0):
-            # retrieval validation: similarity matrix → graded mAP/nDCG
-            from cli.eval_zeroshot import eval_ek100_mir
-            eval_ek100_mir(
-                model, {"params": state.params}, tokenizer, model_name,
-                root=args.root, metadata=args.metadata_val,
-                clip_length=args.clip_length, clip_stride=args.clip_stride,
-                batch_size=args.batch_size, workers=args.workers)
+
+        val_metrics = {}
+        is_best = False
+        if args.metadata_val and (epoch + 1) % args.eval_freq == 0:
+            val_metrics, key_metric = run_validation()
+            if key_metric > best_metric:
+                is_best, best_metric = True, key_metric
+        # collective save: ALL processes enter (orbax writes sharded
+        # leaves per-host; a process-0-only save deadlocks a pod — same
+        # contract as cli/main_pretrain.py)
+        mgr.save({"params": state.params, "opt_state": state.opt_state},
+                 epoch=epoch, config=config,
+                 metrics={**val_metrics, "best_metric": best_metric},
+                 is_best=is_best,
+                 keep_epoch=(epoch + 1) % args.save_freq == 0)
+        if jax.process_index() == 0 and val_metrics:
+            with open(osp.join(mgr.output_dir, "log.txt"), "a") as f:
+                f.write(json.dumps({**val_metrics, "epoch": epoch}) + "\n")
         if args.steps and total >= args.steps:
             break
     print("=> done")

@@ -44,8 +44,19 @@ def apply_top_p(logits: jax.Array, p: float,
     ``Σ prob_i·[prob_i >= t]`` still reaches ``p`` — found by bisection
     on [0, max_prob] in ~40 full-width passes. A (B, 50257) sort costs
     ~9 ms/step on v5e at B=128 (it dominated the whole decode step);
-    the bisection is ~0.5 ms and exact up to probability ties within
-    the terminal bisection interval (< 1e-11·max_prob).
+    the bisection is ~0.5 ms. Exactness caveat: the terminal interval
+    has width ~max_prob·2^-40, so tokens whose probabilities fall
+    INSIDE that interval around the true boundary may differ from the
+    sorted formulation. When the nucleus boundary sits deep in a long
+    tail (boundary prob ≪ max_prob, e.g. logits spanning ~20+ nats),
+    the interval can exceed the spacing between distinct tail
+    probabilities and a few near-tied extra tokens may be kept — an
+    over-inclusion of negligible mass (< 2^-40 of the distribution per
+    tied token). The accepted threshold always retains mass >= p (in
+    exact arithmetic; when 1-p itself falls below fp32 summation noise,
+    ~1e-7 relative, set membership at the boundary is noise-determined
+    in BOTH formulations). Bounded by tests/test_gpt2_narrator.py::
+    test_top_p_bisection_long_tailed_logits.
     ``min_tokens_to_keep > 1`` (beam search) keeps the sort path, which
     can enforce the floor exactly."""
     if p >= 1.0:

@@ -5,8 +5,11 @@ TPU-native rebuild of the reference video encoder
 
   * channel-last input ``(B, T, H, W, C)`` — native layout for TPU convs;
   * divided space-time attention is the static batched formulation of
-    :func:`lavila_tpu.ops.attention.divided_attention` instead of einops
-    reshapes over a merged (b h) axis;
+    :func:`lavila_tpu.ops.attention.divided_attention_split` — the tower
+    carries (cls, patches) as SEPARATE arrays so the CLS row never forces
+    a relayout of the patch tensor — instead of einops reshapes over a
+    merged (b h) axis (``divided_attention`` remains as a compatibility
+    wrapper over the split form);
   * activation checkpointing via ``jax.checkpoint`` policies at block
     granularity (see ``remat`` flag), not torch.utils.checkpoint;
   * compute dtype is a parameter (bf16 on TPU), params stay fp32.

@@ -148,6 +148,15 @@ def _cls_row_attention(cls_q, cls_k, cls_v, kp, vp):
     the same form: jax's autodiff of the fp32-promoted forward would
     materialize fp32 (B, F, N, H, d) temporaries (+4 ms/step measured);
     here every full-size backward tensor stays in the input dtype.
+
+    Precision (deliberate tradeoff): under bf16 inputs the q·k and p·v
+    PRODUCTS round to bf16 before the fp32 sum-reduce — slightly looser
+    than a dot_general with preferred_element_type=f32, which would keep
+    the products in fp32, but that relayouts kp/vp head-major (see
+    above). Max/softmax/normalization stay fp32. The bf16-vs-fp32
+    deviation is bounded by tests/test_attention.py::
+    test_cls_row_attention_bf16_tolerance (~1e-2 absolute on unit-scale
+    inputs, i.e. within bf16's own 2^-8 relative grid).
     """
     out, _ = _cls_row_fwd_impl(cls_q, cls_k, cls_v, kp, vp)
     return out

@@ -72,7 +72,14 @@ class CheckpointManager:
         the 2-3× write amplification. ``keep_epoch=False`` drops the
         epoch-tagged copy after linking (reference ``--save-freq``
         semantics). jax.Arrays (possibly sharded) are passed straight to
-        orbax, which saves per-shard — no host gather."""
+        orbax, which saves per-shard — no host gather.
+
+        Multi-host contract: ``is_best``/``metrics``/``epoch`` must be
+        GLOBALLY CONSISTENT — only process 0's values drive the sidecar,
+        best/latest links, and pruning. Divergence cannot deadlock (the
+        collective part is the orbax save itself) but would silently
+        mislink checkpoint_best, so compute the metric from replicated
+        arrays (as every CLI here does) or all-reduce it first."""
         meta = {"epoch": epoch, "config": config or {},
                 "metrics": metrics or {}}
         primary = self._path(f"{epoch:04d}")

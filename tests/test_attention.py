@@ -116,3 +116,43 @@ def test_cls_row_attention_custom_vjp_matches_autodiff():
                           ["cls_q", "cls_k", "cls_v", "kp", "vp"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=1e-4, err_msg=name)
+
+
+def test_cls_row_attention_bf16_tolerance():
+    """Bound the deliberate bf16 precision tradeoff (products round to
+    bf16 before the fp32 sum-reduce, see _cls_row_attention docstring):
+    bf16 inputs through the production path must stay within a bf16-grid
+    tolerance of the all-fp32 reference, forward AND backward."""
+    import jax
+    from lavila_tpu.ops.attention import _cls_row_attention
+
+    rng = np.random.default_rng(11)
+    B, F, N, H, d = 2, 4, 6, 4, 16
+    shapes = [(B, 1, H, d)] * 3 + [(B, F, N, H, d)] * 2
+    args32 = [jnp.asarray(rng.normal(size=s), jnp.float32) for s in shapes]
+    args16 = [a.astype(jnp.bfloat16) for a in args32]
+
+    def ref(cls_q, cls_k, cls_v, kp, vp):
+        scale = d ** -0.5
+        k = jnp.concatenate([cls_k, kp.reshape(B, F * N, H, d)], axis=1)
+        v = jnp.concatenate([cls_v, vp.reshape(B, F * N, H, d)], axis=1)
+        s = jnp.einsum("bqhd,bkhd->bhqk", cls_q * scale, k)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+    got = _cls_row_attention(*args16).astype(jnp.float32)
+    want = ref(*args32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-2, rtol=2e-2)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(fn(*a).astype(jnp.float32) ** 2)
+
+    g16 = jax.grad(loss(_cls_row_attention),
+                   argnums=tuple(range(5)))(*args16)
+    g32 = jax.grad(loss(ref), argnums=tuple(range(5)))(*args32)
+    for a, b, name in zip(g16, g32,
+                          ["cls_q", "cls_k", "cls_v", "kp", "vp"]):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b), atol=6e-2, rtol=6e-2,
+            err_msg=name)

@@ -153,3 +153,38 @@ def test_top_p_bisection_matches_sorted_nucleus():
     x = jnp.array([[0.0, 10.0, 0.0, 0.0]])
     kept = np.asarray(S.apply_top_p(x, 0.9)) > S.NEG_INF / 2
     np.testing.assert_array_equal(kept, [[False, True, False, False]])
+
+
+def test_top_p_bisection_long_tailed_logits():
+    """Documented behavior for long tails (logits spanning ~20 nats, the
+    sampling.py docstring caveat): the bisection may keep a few extra
+    near-tied TAIL tokens relative to the sorted formulation, but (a)
+    never drops a nucleus token the sorted path keeps, and (b) the extra
+    mass is negligible."""
+    import numpy as np
+    from lavila_tpu.models import sampling as S
+    rng = np.random.default_rng(9)
+    # head at ~0, long tail down to -20 nats, with deliberate near-ties
+    logits = np.concatenate([
+        rng.normal(size=(4, 16)) * 0.5,
+        np.linspace(-5, -20, 984)[None].repeat(4, 0)
+        + rng.normal(size=(4, 984)) * 1e-7], axis=1)
+    logits = jnp.asarray(logits, jnp.float32)
+    probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+    for p in (0.9, 0.999):
+        keep_bis = np.asarray(S.apply_top_p(logits, p)) > S.NEG_INF / 2
+        keep_sort = np.asarray(
+            S.apply_top_p(logits, p, min_tokens_to_keep=2)) > S.NEG_INF / 2
+        # no nucleus token lost (ignore rows where sort's floor of 2 kicks in)
+        rows = keep_sort.sum(-1) > 2
+        assert not (keep_sort[rows] & ~keep_bis[rows]).any(), f"p={p}"
+        # any extra kept tokens carry negligible probability mass
+        extra_mass = (probs * (keep_bis & ~keep_sort))[rows].sum(-1)
+        assert (extra_mass < 1e-9).all(), f"p={p}: {extra_mass}"
+    # extreme p (1-p below fp32 cumsum noise): the set-equality guarantee
+    # degrades to the mass guarantee — the bisection always retains >= p
+    # mass up to fp32 rounding
+    for p in (0.999999,):
+        keep_bis = np.asarray(S.apply_top_p(logits, p)) > S.NEG_INF / 2
+        mass = (probs * keep_bis).sum(-1)
+        assert (mass >= p - 1e-5).all(), f"p={p}: {mass}"
