@@ -28,9 +28,21 @@ import numpy as np
 CHIP_CLIPS_PER_SEC = 173.75
 
 
+# dual-encoder bench geometries (vision tower + CLIP text tower)
+BENCH_MODELS = {
+    "tsf_b": dict(name="CLIP_OPENAI_TIMESFORMER_BASE", img=224, patch=16,
+                  depth=12, dim=768, text_dim=512, batch=16, remat=False),
+    # reference flagship-quality model (docs/PRETRAIN.md:24-35: batch
+    # 8/GPU + ZeRO + grad-ckpt on 32GB V100s); on 16GB v5e it needs
+    # remat — the recipe is documented in PARITY.md
+    "tsf_l": dict(name="CLIP_OPENAI_TIMESFORMER_LARGE", img=224, patch=14,
+                  depth=24, dim=1024, text_dim=768, batch=8, remat=True),
+}
+
+
 def flops_per_clip(img=224, patch=16, frames=4, depth=12, dim=768,
                    text_len=77, text_dim=512, text_depth=12):
-    """Analytic forward FLOPs for the TSF-B dual encoder (matmuls only)."""
+    """Analytic forward FLOPs for a TSF dual encoder (matmuls only)."""
     n = (img // patch) ** 2          # patches/frame
     L = 1 + frames * n               # video tokens
     f = 0.0
@@ -55,21 +67,22 @@ def flops_per_clip(img=224, patch=16, frames=4, depth=12, dim=768,
     return f
 
 
-def main():
+def main(model_key: str = "tsf_b", batch_size: int = 0):
     from lavila_tpu.models import build_model
-    from lavila_tpu.ops.attention import set_attention_backend
     from lavila_tpu.train.optim import make_optimizer
     from lavila_tpu.train.step import TrainState, make_clip_train_step
 
-    if jax.default_backend() == "tpu":
-        set_attention_backend("pallas")  # fused fwd+bwd flash kernel
-    batch_size = 16
-    model = build_model("CLIP_OPENAI_TIMESFORMER_BASE", num_frames=4,
-                        dtype=jnp.bfloat16)
+    # attention backend: lazy default is already 'pallas' on TPU
+    # (lavila_tpu/ops/attention.py), overridable via LAVILA_ATTENTION
+    g = BENCH_MODELS[model_key]
+    batch_size = batch_size or g["batch"]
+    kw = dict(remat=True) if g["remat"] else {}
+    model = build_model(g["name"], num_frames=4, dtype=jnp.bfloat16, **kw)
     rng = np.random.default_rng(0)
     batch = {
         "frames": jnp.asarray(
-            rng.normal(size=(batch_size, 4, 224, 224, 3)), jnp.bfloat16),
+            rng.normal(size=(batch_size, 4, g["img"], g["img"], 3)),
+            jnp.bfloat16),
         "text": jnp.asarray(rng.integers(1, 49407, size=(batch_size, 77)),
                             jnp.int32),
     }
@@ -93,30 +106,44 @@ def main():
     dt = time.perf_counter() - t0
 
     clips_per_sec = batch_size * iters / dt
-    # fwd + bwd ≈ 3x fwd FLOPs
-    step_flops = 3 * flops_per_clip() * batch_size
+    # fwd + bwd ≈ 3x fwd FLOPs (remat adds recompute the analytic count
+    # deliberately ignores — MFU stays comparable across recipes)
+    step_flops = 3 * flops_per_clip(
+        img=g["img"], patch=g["patch"], depth=g["depth"], dim=g["dim"],
+        text_dim=g["text_dim"]) * batch_size
     achieved = step_flops * iters / dt
     peak = 197e12  # TPU v5e bf16 peak FLOP/s
     mfu = achieved / peak
     print(json.dumps({
-        "metric": "tsf_b_pretrain_clips_per_sec_per_chip",
+        "metric": f"{model_key}_pretrain_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": round(mfu, 4),
     }))
 
 
-def narrator_bench(batch_size: int = 16, max_len: int = 77):
+NARRATOR_MODELS = {
+    "base": ("VCLM_OPENAI_TIMESFORMER_BASE_GPT2", 224, "TSF-B+GPT2"),
+    # the reference's flagship narrator (docs/MODEL_ZOO.md:21)
+    "xl": ("VCLM_OPENAI_TIMESFORMER_LARGE_336PX_GPT2_XL", 336,
+           "TSF-L@336+GPT2-XL"),
+}
+
+
+def narrator_bench(batch_size: int = 16, max_len: int = 77,
+                   decoder: str = "base", skip_reforward: bool = False):
     """Secondary benchmark: GPT-2 narrator decode throughput
     (narrations/sec), cached scan decode vs the reference's
     re-forward-the-whole-prefix strategy (reference narrator.py:118-119)
-    emulated for comparison."""
+    emulated for comparison (skippable for XL, where the re-forward
+    emulation alone is minutes of chip time)."""
     from lavila_tpu.models import build_model
 
-    model = build_model("VCLM_OPENAI_TIMESFORMER_BASE_GPT2",
+    name, img, label = NARRATOR_MODELS[decoder]
+    model = build_model(name,
                         num_frames=4, gated_xattn=True, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.normal(size=(batch_size, 4, 224, 224, 3)),
+    frames = jnp.asarray(rng.normal(size=(batch_size, 4, img, img, 3)),
                          jnp.bfloat16)
     text = jnp.zeros((1, 8), jnp.int32)
     params = model.init(jax.random.key(0), frames[:1], text)["params"]
@@ -138,6 +165,16 @@ def narrator_bench(batch_size: int = 16, max_len: int = 77):
         ids, _ppl = gen(variables, tokens, jax.random.key(i))
     _ = int(np.asarray(ids)[0, 0])
     cached = batch_size * reps / (time.perf_counter() - t0)
+
+    if skip_reforward:
+        print(json.dumps({
+            "metric": f"narrator_{decoder}_decode_narrations_per_sec",
+            "value": round(cached, 2),
+            "unit": f"narrations/sec (77 tokens, {label})",
+            "vs_baseline": round(cached, 2),
+            "note": "cached KV decode; re-forward comparison skipped",
+        }))
+        return
 
     # reference-style decode: full prefix re-forward per step, no KV reuse
     def reforward(v, t, key):
@@ -167,9 +204,11 @@ def narrator_bench(batch_size: int = 16, max_len: int = 77):
     reforward_rate = batch_size / (time.perf_counter() - t0)
 
     print(json.dumps({
-        "metric": "narrator_decode_narrations_per_sec",
+        "metric": ("narrator_decode_narrations_per_sec"
+                   if decoder == "base" else
+                   f"narrator_{decoder}_decode_narrations_per_sec"),
         "value": round(cached, 2),
-        "unit": "narrations/sec (77 tokens, TSF-B+GPT2)",
+        "unit": f"narrations/sec (77 tokens, {label})",
         "vs_baseline": round(cached / max(reforward_rate, 1e-9), 2),
         "note": "vs_baseline = speedup over reference-style full-prefix "
                 "re-forward decode",
@@ -229,10 +268,29 @@ def data_pipeline_bench(num_videos: int = 8, batch_size: int = 16,
 
 
 if __name__ == "__main__":
-    import sys
-    if "--narrator" in sys.argv:
-        narrator_bench()
-    elif "--data" in sys.argv:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--narrator", action="store_true",
+                    help="GPT-2 narrator decode bench")
+    ap.add_argument("--data", action="store_true",
+                    help="host input-pipeline bench")
+    ap.add_argument("--model", default="tsf_b",
+                    choices=sorted(BENCH_MODELS),
+                    help="dual-encoder bench geometry")
+    ap.add_argument("--decoder", default="base",
+                    choices=sorted(NARRATOR_MODELS),
+                    help="narrator bench decoder (with --narrator)")
+    ap.add_argument("--batch-size", type=int, default=0,
+                    help="override the per-model default batch")
+    ap.add_argument("--skip-reforward", action="store_true",
+                    help="narrator: skip the reference-style re-forward "
+                         "comparison run")
+    args = ap.parse_args()
+    if args.narrator:
+        narrator_bench(batch_size=args.batch_size or 16,
+                       decoder=args.decoder,
+                       skip_reforward=args.skip_reforward)
+    elif args.data:
         data_pipeline_bench()
     else:
-        main()
+        main(args.model, args.batch_size)

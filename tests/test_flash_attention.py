@@ -214,3 +214,35 @@ def test_divided_phase_time_kernel_tiled_geometries(F, N, monkeypatch):
                                        np.asarray(b)[:, 0],
                                        atol=5e-4, rtol=1e-3,
                                        err_msg=name + "_cls")
+
+
+@pytest.mark.parametrize("axis", ["time", "space"])
+def test_divided_phase_kernel_tsf_l_geometry(axis):
+    """TSF-L head geometry (H=16, head_dim=64, D=1024, N=(224/14)^2=256
+    patches) through the fused kernels — the flagship-large shape the
+    bench's --model tsf_l mode runs (interpret mode, small B/F)."""
+    from lavila_tpu.ops import attention as A
+    from lavila_tpu.ops.pallas.divided import divided_phase
+    rng = np.random.default_rng(6)
+    B, F, N, H, dh = 1, 2, 256, 16, 64
+    D = H * dh
+    L = 1 + F * N
+    scale = dh ** -0.5
+    q = jnp.asarray(rng.normal(size=(B, L, H, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, L, H, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, L, H, dh)), jnp.float32)
+
+    old = A.get_attention_backend()
+    A.set_attention_backend("grouped")
+    try:
+        want = A.divided_attention(q, k, v, F, axis)[:, 1:]
+    finally:
+        A.set_attention_backend(old)
+
+    got = divided_phase(
+        q[:, 1:].reshape(B, F, N, D), k[:, 1:].reshape(B, F, N, D),
+        v[:, 1:].reshape(B, F, N, D), k[:, 0].reshape(B, D),
+        v[:, 0].reshape(B, D), axis, H, scale, True)
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(B, F * N, H, dh), np.asarray(want),
+        atol=2e-5, rtol=1e-4)

@@ -131,3 +131,44 @@ def test_pretrain_cli_mesh_model_shards_params(tmp_path):
     sharded = [jax.tree_util.keystr(p) for p, l in flat
                if not l.sharding.is_fully_replicated]
     assert any("qkv" in k for k in sharded), sharded[:5]
+
+
+def test_gpt2_tp_kv_cache_decode_matches_replicated():
+    """KV-cached decode (the narrator's production path, SURVEY §2.5's
+    motivation for TP on GPT-2 XL) under TP-sharded params must produce
+    the same step logits as replicated execution — prefill + several
+    cached single-token steps through a (data=2, model=4) mesh."""
+    from lavila_tpu.models.gpt2 import init_cache
+
+    cfg = augment_config(
+        GPT2Config(vocab_size=96, n_positions=24, n_embd=64, n_layer=2,
+                   n_head=4), cross_attn_freq=1, gated_xattn=True)
+    m = GPT2LMHead(cfg)
+    ids = jnp.array([[5, 17, 3, 9]], jnp.int32)
+    enc = jax.random.normal(jax.random.key(2), (1, 6, 64))
+    params = m.init(jax.random.key(0), ids, enc)["params"]
+
+    mesh = create_mesh(data=2, model=4)
+    sharded = shard_params(params, mesh, rules=param_sharding_rules)
+
+    def decode(p):
+        """prefill 4 tokens, then 3 cached greedy steps; stack logits."""
+        cache = init_cache(cfg, 1, 12, jnp.float32)
+        cross_kv = m.apply({"params": p}, enc, method="precompute_cross_kv")
+        logits, cache = m.apply({"params": p}, ids, cross_kv=cross_kv,
+                                cache=cache, cache_index=0)
+        outs = [logits[:, -1]]
+        tok = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
+        idx = ids.shape[1]
+        for _ in range(3):
+            logits, cache = m.apply({"params": p}, tok, cross_kv=cross_kv,
+                                    cache=cache, cache_index=idx)
+            outs.append(logits[:, -1])
+            tok = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
+            idx += 1
+        return jnp.stack(outs, 1)
+
+    want = decode(params)
+    got = jax.jit(decode)(sharded)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-4)
