@@ -183,7 +183,8 @@ def main(cfg: PretrainConfig):
             model, {"params": state.params}, tokenizer, cfg.model,
             root=cfg.val_root or cfg.root, metadata=cfg.val_metadata,
             clip_length=cfg.clip_length, clip_stride=cfg.clip_stride,
-            batch_size=cfg.batch_size, workers=cfg.workers)
+            batch_size=cfg.batch_size, workers=cfg.workers,
+            num_clips=cfg.val_num_clips, num_crops=cfg.val_num_crops)
 
     os.makedirs(cfg.output_dir, exist_ok=True)
     wandb_run = None

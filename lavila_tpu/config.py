@@ -73,6 +73,11 @@ class PretrainConfig:
     # per-epoch EK-100 probe, main_pretrain.py:359-379)
     val_metadata: Optional[str] = None
     val_root: Optional[str] = None
+    # multi-view in-train MIR probe (defaults match the reference's
+    # single-view probe transform, main_pretrain.py:275-286; the 16-frame
+    # BASELINE rows need the multi-view protocol at final-eval time)
+    val_num_clips: int = 1
+    val_num_crops: int = 1
     # system
     print_freq: int = 10
     workers: int = 8
