@@ -107,13 +107,17 @@ class SpaceTimeBlock(nn.Module):
             alpha = self.param("alpha_timeattn", nn.initializers.zeros, ())
             gate = jnp.tanh(alpha).astype(cls.dtype)
             time_out = (gate * time_out[0], gate * time_out[1])
-        time_res = (cls + time_out[0], patches + time_out[1])
-
         norm1 = LayerNorm(epsilon=1e-6, name="norm1")
+        # frozen-in-time: the time residual feeds ONLY norm1 (the spatial
+        # residual below reconnects to the block input), so the patch-half
+        # sum is fused into the norm and never materialized
+        # (reference timesformer.py:186-193)
+        y1_cls = norm1(cls + time_out[0])
+        y1_pat = norm1(time_out[1], residual=patches, return_sum=False)
         space_out = DividedAttentionBlock(
             self.dim, self.num_heads, self.qkv_bias,
             dtype=self.dtype, name="attn",
-        )(norm1(time_res[0]), norm1(time_res[1]), "space")
+        )(y1_cls, y1_pat, "space")
 
         def dp(pair):
             if self.drop_path_rate == 0.0 or not train:
@@ -129,13 +133,17 @@ class SpaceTimeBlock(nn.Module):
         # frozen-in-time: the spatial residual reconnects to the block input
         # (reference timesformer.py:191-193)
         space_out = dp(space_out)
-        space_res = (cls + space_out[0], patches + space_out[1])
-
         norm2 = LayerNorm(epsilon=1e-6, name="norm2")
+        space_res0 = cls + space_out[0]
+        y2_cls = norm2(space_res0)
+        # patch half: the sum is the residual carry AND the norm input —
+        # fused add+LN keeps it to one HBM round trip
+        y2_pat, space_res1 = norm2(space_out[1], residual=patches)
+
         mlp = Mlp(int(self.dim * self.mlp_ratio), act=self.act,
                   dtype=self.dtype, name="mlp")
-        mlp_out = dp((mlp(norm2(space_res[0])), mlp(norm2(space_res[1]))))
-        return space_res[0] + mlp_out[0], space_res[1] + mlp_out[1]
+        mlp_out = dp((mlp(y2_cls), mlp(y2_pat)))
+        return space_res0 + mlp_out[0], space_res1 + mlp_out[1]
 
 
 class SpaceTimeTransformer(nn.Module):

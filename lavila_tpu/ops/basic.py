@@ -62,7 +62,60 @@ class LayerNorm(nn.Module):
     use_scale: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, residual: Optional[jax.Array] = None,
+                 return_sum: bool = True):
+        """``residual=None`` → ``LN(x)``. With a residual, returns the
+        pair ``(LN(x + residual), x + residual)`` — the transformer-block
+        pattern — letting the Pallas path fuse the add into the norm;
+        ``return_sum=False`` returns just ``LN(x + residual)`` and the
+        fused path never materializes the sum."""
+        dim = x.shape[-1]
+        scale = (self.param("scale", nn.initializers.ones, (dim,),
+                            jnp.float32) if self.use_scale else None)
+        bias = (self.param("bias", nn.initializers.zeros, (dim,),
+                           jnp.float32) if self.use_bias else None)
+
+        # Pallas fused path (fwd + custom-VJP bwd, one HBM pass each
+        # way, ops/pallas/layernorm.py), routed with the attention
+        # kernels (LAVILA_ATTENTION / TPU default). Measured on the
+        # TSF-B batch-16 step (v5e): the TEXT tower's (16, 77, 512) LNs
+        # cost 6.2 ms/step under XLA (25 × 0.25 ms overhead-bound
+        # convert_reduce fusions for 1.3 MB ops) and 0.2 ms fused — but
+        # the VISION tower's 4-D LNs are FASTER under XLA (91.9 vs 93.8
+        # ms/step all-fused): XLA folds the residual adds and consumers
+        # into its stat fusions, which a custom-call boundary forfeits.
+        # Hence: fused only for 3-D activations (the text/decoder
+        # shape); 4-D tower tensors stay on the XLA path.
+        from lavila_tpu.ops.attention import get_attention_backend
+        rows = 1
+        for s in x.shape[:-1]:
+            rows *= s
+        if (get_attention_backend() == "pallas" and dim % 128 == 0
+                and x.ndim == 3 and rows >= 256
+                and x.dtype in (jnp.bfloat16, jnp.float32)):
+            from lavila_tpu.ops.pallas.layernorm import (fused_add_layernorm,
+                                                         fused_layernorm)
+            # merge LEADING axes only — the minor two dims are TPU-tiled
+            # (8, 128), so flattening (…, R, D) row axes would relayout
+            g = rows // x.shape[-2]
+            s3 = scale if scale is not None else jnp.ones((dim,), jnp.float32)
+            b3 = bias if bias is not None else jnp.zeros((dim,), jnp.float32)
+            x3 = x.reshape(g, x.shape[-2], dim)
+            if residual is not None:
+                r3 = residual.astype(x.dtype).reshape(x3.shape)
+                if not return_sum:
+                    from lavila_tpu.ops.pallas.layernorm import \
+                        fused_add_layernorm_nosum
+                    return fused_add_layernorm_nosum(
+                        x3, r3, s3, b3, self.epsilon).reshape(x.shape)
+                y3, sum3 = fused_add_layernorm(x3, r3, s3, b3, self.epsilon)
+                return y3.reshape(x.shape), sum3.reshape(x.shape)
+            return fused_layernorm(x3, s3, b3, self.epsilon).reshape(x.shape)
+
+        summed = None
+        if residual is not None:
+            x = summed = x + residual.astype(x.dtype)
+
         orig_dtype = x.dtype
         x = x.astype(jnp.float32)
         # One-pass fp32 variance (E[x²] − E[x]²): a single fused reduce
@@ -72,18 +125,18 @@ class LayerNorm(nn.Module):
         # (An MXU dot-reduce against a ones matrix wins in isolation
         # — 0.07 vs 0.14 ms/LN — but LOSES ~2.4 ms/step in the full
         # model, where the matmuls already saturate the MXU.)
-        dim = x.shape[-1]
         mean = jnp.mean(x, axis=-1, keepdims=True)
         ms = jnp.mean(x * x, axis=-1, keepdims=True)
         var = jnp.maximum(ms - mean * mean, 0.0)
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        if self.use_scale:
-            scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        if scale is not None:
             y = y * scale
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        if bias is not None:
             y = y + bias
-        return y.astype(orig_dtype)
+        y = y.astype(orig_dtype)
+        if summed is not None and return_sum:
+            return y, summed
+        return y
 
 
 def trunc_normal_init(std: float = 0.02):

@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--remat", default="")
     ap.add_argument("--ablate", action="store_true",
                     help="also time temporal/spatial-ablated forwards")
+    ap.add_argument("--trace", default="",
+                    help="capture a jax.profiler xplane trace of 5 full "
+                         "steps into this dir (parse with "
+                         "scripts/parse_xplane.py <dir> --steps 5)")
     args = ap.parse_args()
 
     from lavila_tpu.models import build_model
@@ -82,6 +86,14 @@ def main():
     t_step = timeit(run_step, lambda m: float(m["loss"]))
     print(f"full step:        {t_step*1e3:8.2f} ms   "
           f"({B/t_step:7.1f} clips/s)")
+
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
+        for _ in range(5):
+            m = run_step()
+        _ = float(m["loss"])
+        jax.profiler.stop_trace()
+        print(f"trace written to {args.trace} (5 steps)")
 
     # --- forward-only loss ---
     from lavila_tpu import losses
