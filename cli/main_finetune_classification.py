@@ -73,6 +73,9 @@ def get_args_parser():
     p.add_argument("--eval-freq", type=int, default=1)
     p.add_argument("--save-freq", type=int, default=1)
     p.add_argument("--steps", type=int, default=0)
+    p.add_argument("--evaluate", action="store_true",
+                   help="validate once and exit (reference "
+                        "main_finetune_classification.py:330-340)")
     p.add_argument("--output-dir", default="./ft_cls")
     return p
 
@@ -282,6 +285,13 @@ def main(args):
     step_fn = jax.jit(make_classifier_train_step(
         clf, multihead=args.use_vn_classifier,
         label_smoothing=args.label_smoothing), donate_argnums=(0,))
+
+    if args.evaluate:
+        val_metrics = validate(args, clf, state.params, mapping,
+                               num_classes, multihead_parts, model_name,
+                               labels)
+        print(json.dumps(val_metrics))
+        return val_metrics
 
     rng = jax.random.key(args.seed + 7)
     total = 0

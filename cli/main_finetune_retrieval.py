@@ -77,6 +77,9 @@ def get_args_parser():
     p.add_argument("--save-freq", type=int, default=1)
     p.add_argument("--steps", type=int, default=0)
     p.add_argument("--use-checkpoint", action="store_true")
+    p.add_argument("--evaluate", action="store_true",
+                   help="validate once and exit (reference "
+                        "main_finetune_retrieval.py:322-327)")
     p.add_argument("--output-dir", default="./ft_retrieval")
     return p
 
@@ -192,6 +195,11 @@ def main(args):
         out = validate_charades(args, model, {"params": state.params},
                                 tokenizer, model_name)
         return out, out["video_mAP"]
+
+    if args.evaluate:
+        out, _ = run_validation()
+        print(json.dumps(out))
+        return out
 
     total = 0
     for epoch in range(start_epoch, args.epochs):

@@ -121,3 +121,23 @@ def test_finetune_classification_per_epoch_val_and_resume(
     meta = json.loads(
         (tmp_path / "run" / "checkpoint_latest.json").read_text())
     assert meta["epoch"] == 1
+
+
+def test_finetune_retrieval_evaluate_only(tmp_path, charades_fixture):
+    """--evaluate: validates once and exits without training
+    (reference main_finetune_retrieval.py:322-327)."""
+    from cli.main_finetune_retrieval import main
+    args = _retrieval_args(tmp_path, charades_fixture)
+    args.evaluate = True
+    out = main(args)
+    assert "video_mAP" in out
+    assert not (tmp_path / "run" / "checkpoint_latest").exists()
+
+
+def test_finetune_classification_evaluate_only(tmp_path, egtea_cls_fixture):
+    from cli.main_finetune_classification import main
+    args = _cls_args(tmp_path, egtea_cls_fixture)
+    args.evaluate = True
+    out = main(args)
+    assert "acc1" in out
+    assert not (tmp_path / "run" / "checkpoint_latest").exists()
