@@ -254,7 +254,17 @@ def divided_attention_split(cls_q: jax.Array, cls_k: jax.Array,
 
     cls_out = _cls_row_attention(cls_q, cls_k, cls_v, kp, vp)
 
-    if get_attention_backend() == "pallas":
+    # The fused spatial kernel holds one whole frame (N tokens) per VMEM
+    # block and its unrolled per-head (N, N) fp32 score/prob temps live
+    # on the Mosaic stack together: fine up to N = 256 (TSF-L/224,
+    # measured), but N = 576 (336px towers) needs ~40 MB of scoped VMEM
+    # and fails to compile. Large-N spatial routes to the grouped XLA
+    # formulation (flash-style tiling of a 576-key softmax isn't worth a
+    # kernel: the 336px models are eval/decode surfaces, reference
+    # docs/MODEL_ZOO.md:21).
+    _space_fits_vmem = N <= 256
+    if get_attention_backend() == "pallas" and (
+            axis == "time" or _space_fits_vmem):
         # fused divided-phase kernels for BOTH phases (scores, softmax,
         # PV, CLS key folded in — the whole phase per block in VMEM from
         # the token-major layout; no grouped relayout, no fp32 score

@@ -156,3 +156,31 @@ def test_cls_row_attention_bf16_tolerance():
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b), atol=6e-2, rtol=6e-2,
             err_msg=name)
+
+
+def test_pallas_backend_large_n_spatial_falls_back_to_grouped():
+    """336px towers have N=576 patches/frame — beyond the spatial
+    kernel's VMEM envelope (N<=256). Under the pallas backend the
+    spatial phase must route to the grouped XLA formulation (this runs
+    on CPU precisely BECAUSE no Pallas kernel is emitted)."""
+    import jax
+    from lavila_tpu.ops import attention as A
+
+    rng = np.random.default_rng(13)
+    B, F, N, H, dh = 1, 2, 260, 2, 8
+    shape = (B, 1 + F * N, H, dh)
+    q, k, v = (jnp.asarray(rng.normal(size=shape), jnp.float32)
+               for _ in range(3))
+    old = A.get_attention_backend()
+    A.set_attention_backend("grouped")
+    try:
+        want = A.divided_attention(q, k, v, F, "space")
+    finally:
+        A.set_attention_backend(old)
+    A.set_attention_backend("pallas")
+    try:
+        got = A.divided_attention(q, k, v, F, "space")
+    finally:
+        A.set_attention_backend(old)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
