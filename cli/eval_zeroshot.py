@@ -53,6 +53,10 @@ def get_args_parser():
                    choices=["max", "mean"],
                    help="pooling over narrations when "
                         "--narration-selection list")
+    p.add_argument("--cls-use-template", action="store_true",
+                   help="egocentric prompt templates '#C C {}' / '#C {}' "
+                        "for classification label embeddings "
+                        "(reference eval_zeroshot.py:134-137)")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--print-freq", type=int, default=10)
@@ -236,16 +240,19 @@ def eval_ek100_mir(model, variables, tokenizer, model_name, *, root,
 
 
 def build_label_embeddings(model, variables, tokenizer, labels,
-                           has_mask=False):
+                           has_mask=False, templates=("{}",)):
     """Prompt-ensembled class text embeddings: each label may be a list of
-    narrations; member embeddings are averaged
-    (reference eval_zeroshot.py:216-240)."""
+    narrations and is expanded through ``templates``; member embeddings
+    are averaged (reference eval_zeroshot.py:216-240; the egocentric
+    templates '#C C {}'/'#C {}' are the reference's --cls-use-template,
+    eval_zeroshot.py:134-137)."""
     enc_t_mask = jax.jit(lambda v, t, m: model.apply(
         v, t, m, method="encode_text"))
     enc_t = jax.jit(lambda v, t: model.apply(v, t, method="encode_text"))
     out = []
     for label in labels:
-        variants = label if isinstance(label, list) else [label]
+        members = label if isinstance(label, list) else [label]
+        variants = [t.format(m) for t in templates for m in members]
         toks = tokenizer(variants)
         if isinstance(toks, tuple):
             emb = enc_t_mask(variables, jnp.asarray(toks[0]),
@@ -278,9 +285,11 @@ def eval_classification(args, model, variables, tokenizer, model_name,
                             is_training=False)
     loader = DataLoader(ds, args.batch_size, shuffle=False, drop_last=False,
                         num_workers=args.workers)
+    templates = (("#C C {}", "#C {}")
+                 if getattr(args, "cls_use_template", False) else ("{}",))
     class_emb = build_label_embeddings(
         model, variables, tokenizer, labels,
-        has_mask="DISTILBERT" in model_name)
+        has_mask="DISTILBERT" in model_name, templates=templates)
 
     enc_i = jax.jit(lambda v, f: model.apply(v, f, method="encode_image"))
     all_logits, all_labels = [], []

@@ -287,3 +287,36 @@ def test_eval_charades_ego_cli(tmp_path):
                                  model_name, labels, mapping,
                                  multilabel=True)
     assert "video_mAP" in out and np.isfinite(out["video_mAP"])
+
+
+def test_cls_use_template_expands_prompts(egtea_fixture, monkeypatch):
+    """--cls-use-template wraps every label in the two egocentric
+    templates before encoding (reference eval_zeroshot.py:134-137)."""
+    root, split, actions = egtea_fixture
+    import cli.eval_zeroshot as ez
+    from lavila_tpu.data.label_maps import generate_label_map
+    seen = []
+    orig_tok = None
+
+    args = ez.get_args_parser().parse_args([
+        "--dataset", "egtea", "--root", root, "--metadata", split,
+        "--metadata-val", split, "--cls-use-template",
+        "--model", "CLIP_OPENAI_TIMESFORMER_MINI", "--clip-length", "4",
+        "--clip-stride", "2", "--batch-size", "2", "--workers", "2"])
+    labels, mapping = generate_label_map("egtea", metadata=actions)
+    model, variables, tokenizer, model_name = \
+        ez.load_model_from_checkpoint(args)
+
+    class SpyTok:
+        def __call__(self, texts):
+            seen.append(list(texts) if isinstance(texts, list) else texts)
+            return tokenizer(texts)
+
+    out = ez.eval_classification(args, model, variables, SpyTok(),
+                                 model_name, labels, mapping)
+    assert "mean_class_acc" in out
+    # first label call: both templates applied
+    first = seen[0]
+    assert any(v.startswith("#C C ") for v in first)
+    assert any(v.startswith("#C ") and not v.startswith("#C C ")
+               for v in first)
