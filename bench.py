@@ -168,7 +168,11 @@ def narrator_bench(batch_size: int = 16, max_len: int = 77,
 
     if skip_reforward:
         print(json.dumps({
-            "metric": f"narrator_{decoder}_decode_narrations_per_sec",
+            # keep the historical key for the base decoder so the
+            # BENCH_r*.json series stays continuous across flags
+            "metric": ("narrator_decode_narrations_per_sec"
+                       if decoder == "base" else
+                       f"narrator_{decoder}_decode_narrations_per_sec"),
             "value": round(cached, 2),
             "unit": f"narrations/sec (77 tokens, {label})",
             "vs_baseline": round(cached, 2),

@@ -48,7 +48,11 @@ def get_args_parser():
     p.add_argument("--narration-selection", default="random",
                    choices=["random", "concat", "list"],
                    help="how list-valued narrations are used; 'list' "
-                        "scores every narration and pools")
+                        "scores every narration and pools. Takes effect "
+                        "only when the metadata carries narration LISTS "
+                        "(rephraser-style); EPIC csvs carry one "
+                        "narration per row, so this is a no-op for "
+                        "stock EK-100 metadata")
     p.add_argument("--narration-pool", default="max",
                    choices=["max", "mean"],
                    help="pooling over narrations when "
@@ -280,6 +284,8 @@ def eval_classification(args, model, variables, tokenizer, model_name,
                          clip_length=args.clip_length,
                          clip_stride=args.clip_stride,
                          num_clips=args.num_clips,
+                         sparse_sample=getattr(args, "sparse_sample",
+                                               False),
                          is_trimmed=args.dataset != "charades_ego")
     ds = VideoClassyDataset(dcfg, transform, label_mapping,
                             is_training=False)

@@ -98,6 +98,7 @@ def validate_charades(args, model, variables, tokenizer, model_name):
         metadata_val=args.metadata_val, clip_length=args.clip_length,
         clip_stride=args.clip_stride, num_clips=args.num_clips,
         num_crops=args.num_crops, batch_size=args.batch_size,
+        sparse_sample=args.sparse_sample,
         workers=args.workers)
     return eval_classification(ns, model, variables, tokenizer, model_name,
                                labels, mapping, multilabel=True)
@@ -192,9 +193,15 @@ def main(args):
                 batch_size=args.batch_size, workers=args.workers,
                 num_clips=args.num_clips, num_crops=args.num_crops)
             return out, out["mAP_avg"]
-        out = validate_charades(args, model, {"params": state.params},
-                                tokenizer, model_name)
-        return out, out["video_mAP"]
+        if args.dataset in ("charades_ego", "charades_ego_trimmed"):
+            out = validate_charades(args, model, {"params": state.params},
+                                    tokenizer, model_name)
+            return out, out["video_mAP"]
+        raise ValueError(
+            f"no validation protocol for dataset {args.dataset!r}: this "
+            "CLI validates ek100_mir (retrieval mAP/nDCG) or charades_ego "
+            "(classification video mAP) — omit --metadata-val to train "
+            "without per-epoch validation")
 
     if args.evaluate:
         out, _ = run_validation()

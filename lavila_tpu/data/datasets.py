@@ -315,8 +315,11 @@ class VideoMetadataBase:
                             and j < self.relevancy_mat.shape[1]):
                         return frames, (self.metadata_sentences[j],
                                         float(self.relevancy_mat[i][j]))
-                return frames, (narration, 1.0)
-            return frames, (narration, 1.0)
+            # narration_selection applies whenever the metadata carries
+            # list-valued narrations (EPIC csvs carry one per row; lists
+            # appear in rephraser-style pkls) — same dataset-level hook
+            # as the reference's get_raw_item (datasets.py:212-218)
+            return frames, (self._select_narration(narration), 1.0)
         if d == "ek100_cls":
             vid_path, start, end, narration, verb, noun = self.samples[i]
             ids = uniform_frame_ids(start, end, cfg.clip_length,

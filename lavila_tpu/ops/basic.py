@@ -87,30 +87,22 @@ class LayerNorm(nn.Module):
         # Hence: fused only for 3-D activations (the text/decoder
         # shape); 4-D tower tensors stay on the XLA path.
         from lavila_tpu.ops.attention import get_attention_backend
-        rows = 1
-        for s in x.shape[:-1]:
-            rows *= s
         if (get_attention_backend() == "pallas" and dim % 128 == 0
-                and x.ndim == 3 and rows >= 256
+                and x.ndim == 3 and x.shape[0] * x.shape[1] >= 256
                 and x.dtype in (jnp.bfloat16, jnp.float32)):
             from lavila_tpu.ops.pallas.layernorm import (fused_add_layernorm,
                                                          fused_layernorm)
-            # merge LEADING axes only — the minor two dims are TPU-tiled
-            # (8, 128), so flattening (…, R, D) row axes would relayout
-            g = rows // x.shape[-2]
             s3 = scale if scale is not None else jnp.ones((dim,), jnp.float32)
             b3 = bias if bias is not None else jnp.zeros((dim,), jnp.float32)
-            x3 = x.reshape(g, x.shape[-2], dim)
             if residual is not None:
-                r3 = residual.astype(x.dtype).reshape(x3.shape)
+                r3 = residual.astype(x.dtype).reshape(x.shape)
                 if not return_sum:
                     from lavila_tpu.ops.pallas.layernorm import \
                         fused_add_layernorm_nosum
                     return fused_add_layernorm_nosum(
-                        x3, r3, s3, b3, self.epsilon).reshape(x.shape)
-                y3, sum3 = fused_add_layernorm(x3, r3, s3, b3, self.epsilon)
-                return y3.reshape(x.shape), sum3.reshape(x.shape)
-            return fused_layernorm(x3, s3, b3, self.epsilon).reshape(x.shape)
+                        x, r3, s3, b3, self.epsilon)
+                return fused_add_layernorm(x, r3, s3, b3, self.epsilon)
+            return fused_layernorm(x, s3, b3, self.epsilon)
 
         summed = None
         if residual is not None:

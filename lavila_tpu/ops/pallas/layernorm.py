@@ -17,18 +17,29 @@ generated.
 
 Each direction is a single pass over slabs held in VMEM:
 
-  * forward: read x slab → fp32 mean / one-pass variance (E[x²]−E[x]²,
+  * forward: read x slab(s) → fp32 mean / one-pass variance (E[x²]−E[x]²,
     matching ops/basic.py:LayerNorm) → y in the input dtype. No stats
     land in HBM.
-  * backward: read x and dy slabs → RECOMPUTE mean/rstd in VMEM (VPU
-    work is free next to the HBM stream; saving (R,) stats would cost
-    lane-padded f32 writes bigger than the win) → dx, plus dgamma/dbeta
-    accumulated across the sequential grid (same pattern as the dck/dcv
-    accumulators in ops/pallas/divided.py).
+  * backward: read x (or recompute it from the residual pair) and dy
+    slabs → RECOMPUTE mean/rstd in VMEM (VPU work is free next to the
+    HBM stream; saving (R,) stats would cost lane-padded f32 writes
+    bigger than the win) → dx, plus dgamma/dbeta accumulated across the
+    sequential grid (same pattern as the dck/dcv accumulators in
+    ops/pallas/divided.py).
 
-HBM traffic is the floor for both directions: fwd = x in + y out,
-bwd = x+dy in + dx out (+ one (1, D) pair). The elementwise math mirrors
-the reference's fp16-safe LayerNorm semantics
+Three public variants share the two kernels below via static flags:
+
+  * ``fused_layernorm(x)``                — y = LN(x)
+  * ``fused_add_layernorm(a, b)``         — (LN(a+b), a+b): the sum is
+    needed again as the residual carry, so fwd emits it and bwd reads
+    it back (2 reads + 2 writes fwd, 3 reads + 1 write bwd, the
+    upstream d(sum) folding into dx in VMEM)
+  * ``fused_add_layernorm_nosum(a, b)``   — LN(a+b) when the sum is NOT
+    needed downstream: it never touches HBM; bwd recomputes it from
+    (a, b) in VMEM (2 reads + 1 write fwd, 3 reads + 1 write bwd)
+
+HBM traffic is the floor for every direction. The elementwise math
+mirrors the reference's fp16-safe LayerNorm semantics
 (reference: lavila/models/openai_model.py:168-174) with fp32 statistics.
 """
 
@@ -42,20 +53,46 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fwd_kernel(x_ref, s_ref, b_ref, y_ref, *, eps: float):
-    x = x_ref[0].astype(jnp.float32)                    # (rb, D)
+def _stats(x, eps: float):
     d = x.shape[-1]
     mean = jnp.sum(x, axis=-1, keepdims=True) / d
     ms = jnp.sum(x * x, axis=-1, keepdims=True) / d
     var = jnp.maximum(ms - mean * mean, 0.0)
-    rstd = jax.lax.rsqrt(var + eps)
+    return mean, jax.lax.rsqrt(var + eps)
+
+
+def _fwd_kernel(*refs, eps: float, two_inputs: bool, emit_sum: bool):
+    """y = LN(x) with x = a + b when ``two_inputs`` (optionally also
+    writing the sum when ``emit_sum``)."""
+    refs = list(refs)
+    if two_inputs:
+        x = refs.pop(0)[0].astype(jnp.float32) \
+            + refs.pop(0)[0].astype(jnp.float32)
+    else:
+        x = refs.pop(0)[0].astype(jnp.float32)          # (rb, D)
+    s_ref, b_ref, y_ref = refs[0], refs[1], refs[2]
+    if emit_sum:
+        refs[3][0] = x.astype(refs[3].dtype)
+    mean, rstd = _stats(x, eps)
     y = (x - mean) * rstd * s_ref[...].astype(jnp.float32) \
         + b_ref[...].astype(jnp.float32)
     y_ref[0] = y.astype(y_ref.dtype)
 
 
-def _bwd_kernel(x_ref, s_ref, dy_ref, dx_ref, ds_ref, db_ref, *,
-                eps: float, num_rows: int):
+def _bwd_kernel(*refs, eps: float, num_rows: int, two_inputs: bool,
+                has_dsum: bool):
+    """dx (+ upstream d(sum) when ``has_dsum``) and grid-accumulated
+    dgamma/dbeta; x is read directly or recomputed as a + b."""
+    refs = list(refs)
+    if two_inputs:
+        x = refs.pop(0)[0].astype(jnp.float32)
+        x = x + refs.pop(0)[0].astype(jnp.float32)
+    else:
+        x = refs.pop(0)[0].astype(jnp.float32)          # (rb, D)
+    sc_ref, dy_ref = refs.pop(0), refs.pop(0)
+    dsum_ref = refs.pop(0) if has_dsum else None
+    dx_ref, ds_ref, db_ref = refs
+
     g = pl.program_id(0)
     r = pl.program_id(1)
 
@@ -64,19 +101,19 @@ def _bwd_kernel(x_ref, s_ref, dy_ref, dx_ref, ds_ref, db_ref, *,
         ds_ref[...] = jnp.zeros_like(ds_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
 
-    x = x_ref[0].astype(jnp.float32)                    # (rb, D)
     dy = dy_ref[0].astype(jnp.float32)
-    scale = s_ref[...].astype(jnp.float32)              # (1, D)
-    rb, d = x.shape
-    mean = jnp.sum(x, axis=-1, keepdims=True) / d
-    ms = jnp.sum(x * x, axis=-1, keepdims=True) / d
-    var = jnp.maximum(ms - mean * mean, 0.0)
-    rstd = jax.lax.rsqrt(var + eps)
+    scale = sc_ref[...].astype(jnp.float32)             # (1, D)
+    rb = x.shape[0]
+    d = x.shape[-1]
+    mean, rstd = _stats(x, eps)
     xhat = (x - mean) * rstd
     gg = dy * scale
     gm = jnp.sum(gg, axis=-1, keepdims=True) / d
     gxm = jnp.sum(gg * xhat, axis=-1, keepdims=True) / d
-    dx_ref[0] = (rstd * (gg - gm - xhat * gxm)).astype(dx_ref.dtype)
+    dx = rstd * (gg - gm - xhat * gxm)
+    if has_dsum:
+        dx = dx + dsum_ref[0].astype(jnp.float32)       # upstream ds folds in
+    dx_ref[0] = dx.astype(dx_ref.dtype)
     # R-edge blocks are padded past num_rows with unspecified values;
     # the dgamma/dbeta reductions must not see them (dx writes in the
     # padding are discarded by the block writer)
@@ -109,39 +146,54 @@ def _specs(G, R, D, rb):
     return slab, vec, (G, pl.cdiv(R, rb))
 
 
-def _fwd(x, scale, bias, eps, interpret):
-    G, R, D = x.shape
-    rb = _row_block(R, D, x.dtype.itemsize, bwd=False)
+def _fwd_call(xs: tuple, scale, bias, eps, interpret, emit_sum: bool):
+    """xs: one (G, R, D) input, or the (a, b) residual pair."""
+    G, R, D = xs[0].shape
+    two = len(xs) == 2
+    rb = _row_block(R, D, xs[0].dtype.itemsize, bwd=two)  # 3-4 slabs live
     slab, vec, grid = _specs(G, R, D, rb)
+    sds = jax.ShapeDtypeStruct(xs[0].shape, xs[0].dtype)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        functools.partial(_fwd_kernel, eps=eps, two_inputs=two,
+                          emit_sum=emit_sum),
+        out_shape=(sds, sds) if emit_sum else sds,
         grid=grid,
-        in_specs=[slab, vec, vec],
-        out_specs=slab,
+        in_specs=[slab] * len(xs) + [vec, vec],
+        out_specs=(slab, slab) if emit_sum else slab,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(x, scale.reshape(1, D), bias.reshape(1, D))
+    )(*xs, scale.reshape(1, D), bias.reshape(1, D))
 
 
-def _bwd(x, scale, dy, eps, interpret):
-    G, R, D = x.shape
-    rb = _row_block(R, D, x.dtype.itemsize, bwd=True)
+def _bwd_call(xs: tuple, scale, dy, dsum, eps, interpret):
+    """xs: the saved sum (or plain x), or the (a, b) pair to re-add;
+    ``dsum``: upstream gradient of the emitted sum (or None)."""
+    G, R, D = xs[0].shape
+    rb = _row_block(R, D, xs[0].dtype.itemsize, bwd=True)
     slab, vec, grid = _specs(G, R, D, rb)
+    operands = list(xs) + [scale.reshape(1, D), dy]
+    in_specs = [slab] * len(xs) + [vec, slab]
+    if dsum is not None:
+        operands.append(dsum)
+        in_specs.append(slab)
     dx, ds, db = pl.pallas_call(
-        functools.partial(_bwd_kernel, eps=eps, num_rows=R),
-        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype),
+        functools.partial(_bwd_kernel, eps=eps, num_rows=R,
+                          two_inputs=len(xs) == 2, has_dsum=dsum is not None),
+        out_shape=(jax.ShapeDtypeStruct(xs[0].shape, xs[0].dtype),
                    jax.ShapeDtypeStruct((1, D), jnp.float32),
                    jax.ShapeDtypeStruct((1, D), jnp.float32)),
         grid=grid,
-        in_specs=[slab, vec, slab],
+        in_specs=in_specs,
         out_specs=(slab, vec, vec),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(x, scale.reshape(1, D), dy)
+    )(*operands)
     return dx, ds.reshape(D), db.reshape(D)
+
+
+# -- y = LN(x) ------------------------------------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -151,116 +203,27 @@ def fused_layernorm(x, scale, bias, eps: float = 1e-5,
     statistics; ``scale``/``bias`` are (D,) fp32. Returns ``x.dtype``.
     Callers merge LEADING axes only — the minor two dims are TPU-tiled,
     so (…, R, D) must arrive un-flattened (see ops/basic.py:LayerNorm)."""
-    return _fwd(x, scale, bias, eps, interpret)
+    return _fwd_call((x,), scale, bias, eps, interpret, emit_sum=False)
 
 
 def _vjp_fwd(x, scale, bias, eps, interpret):
-    return _fwd(x, scale, bias, eps, interpret), (x, scale)
+    return (_fwd_call((x,), scale, bias, eps, interpret, emit_sum=False),
+            (x, scale))
 
 
 def _vjp_bwd(eps, interpret, res, dy):
     x, scale = res
-    dx, ds, db = _bwd(x, scale, dy, eps, interpret)
-    return dx, ds, db
+    return _bwd_call((x,), scale, dy, None, eps, interpret)
 
 
 fused_layernorm.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-# ==========================================================================
-# residual-add + LayerNorm: (y, s) = (LN(a + b), a + b)
-#
+# -- (y, s) = (LN(a + b), a + b) ------------------------------------------
 # The transformer-block pattern `s = x + attn_out; y = norm(s)` costs XLA
 # an extra full pass over s (the add fuses into neither the LN stats nor
 # a Pallas LN's boundary — measured 5.2 ms/step of add_add fusions once
-# plain fused LN replaced the XLA LN). Fusing the add into the LN kernel
-# makes fwd 2 reads + 2 writes (s is needed again as the residual carry,
-# so it must be materialized either way) and bwd 3 reads + 1 write
-# (ds_upstream folds into the recomputed-stat dx in VMEM).
-# ==========================================================================
-
-
-def _add_fwd_kernel(a_ref, b_ref, s_ref, bi_ref, y_ref, sum_ref, *,
-                    eps: float):
-    x = a_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
-    d = x.shape[-1]
-    sum_ref[0] = x.astype(sum_ref.dtype)
-    mean = jnp.sum(x, axis=-1, keepdims=True) / d
-    ms = jnp.sum(x * x, axis=-1, keepdims=True) / d
-    var = jnp.maximum(ms - mean * mean, 0.0)
-    rstd = jax.lax.rsqrt(var + eps)
-    y = (x - mean) * rstd * s_ref[...].astype(jnp.float32) \
-        + bi_ref[...].astype(jnp.float32)
-    y_ref[0] = y.astype(y_ref.dtype)
-
-
-def _add_bwd_kernel(s_in_ref, sc_ref, dy_ref, dsum_ref, dx_ref, ds_ref,
-                    db_ref, *, eps: float, num_rows: int):
-    g = pl.program_id(0)
-    r = pl.program_id(1)
-
-    @pl.when(jnp.logical_and(g == 0, r == 0))
-    def _init():
-        ds_ref[...] = jnp.zeros_like(ds_ref)
-        db_ref[...] = jnp.zeros_like(db_ref)
-
-    x = s_in_ref[0].astype(jnp.float32)                 # the saved sum
-    dy = dy_ref[0].astype(jnp.float32)
-    scale = sc_ref[...].astype(jnp.float32)
-    rb, d = x.shape
-    mean = jnp.sum(x, axis=-1, keepdims=True) / d
-    ms = jnp.sum(x * x, axis=-1, keepdims=True) / d
-    var = jnp.maximum(ms - mean * mean, 0.0)
-    rstd = jax.lax.rsqrt(var + eps)
-    xhat = (x - mean) * rstd
-    gg = dy * scale
-    gm = jnp.sum(gg, axis=-1, keepdims=True) / d
-    gxm = jnp.sum(gg * xhat, axis=-1, keepdims=True) / d
-    dx = rstd * (gg - gm - xhat * gxm) \
-        + dsum_ref[0].astype(jnp.float32)               # upstream ds folds in
-    dx_ref[0] = dx.astype(dx_ref.dtype)
-    row = r * rb + jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
-    valid = row < num_rows
-    ds_ref[...] += jnp.sum(jnp.where(valid, dy * xhat, 0.0),
-                           axis=0, keepdims=True)
-    db_ref[...] += jnp.sum(jnp.where(valid, dy, 0.0),
-                           axis=0, keepdims=True)
-
-
-def _add_fwd(a, b, scale, bias, eps, interpret):
-    G, R, D = a.shape
-    rb = _row_block(R, D, a.dtype.itemsize, bwd=True)  # 4 slabs live
-    slab, vec, grid = _specs(G, R, D, rb)
-    return pl.pallas_call(
-        functools.partial(_add_fwd_kernel, eps=eps),
-        out_shape=(jax.ShapeDtypeStruct(a.shape, a.dtype),
-                   jax.ShapeDtypeStruct(a.shape, a.dtype)),
-        grid=grid,
-        in_specs=[slab, slab, vec, vec],
-        out_specs=(slab, slab),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
-        interpret=interpret,
-    )(a, b, scale.reshape(1, D), bias.reshape(1, D))
-
-
-def _add_bwd_call(s, scale, dy, dsum, eps, interpret):
-    G, R, D = s.shape
-    rb = _row_block(R, D, s.dtype.itemsize, bwd=True)
-    slab, vec, grid = _specs(G, R, D, rb)
-    dx, ds, db = pl.pallas_call(
-        functools.partial(_add_bwd_kernel, eps=eps, num_rows=R),
-        out_shape=(jax.ShapeDtypeStruct(s.shape, s.dtype),
-                   jax.ShapeDtypeStruct((1, D), jnp.float32),
-                   jax.ShapeDtypeStruct((1, D), jnp.float32)),
-        grid=grid,
-        in_specs=[slab, vec, slab, slab],
-        out_specs=(slab, vec, vec),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
-        interpret=interpret,
-    )(s, scale.reshape(1, D), dy, dsum)
-    return dx, ds.reshape(D), db.reshape(D)
+# plain fused LN replaced the XLA LN).
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -269,19 +232,18 @@ def fused_add_layernorm(a, b, scale, bias, eps: float = 1e-5,
     """``(LN(a + b), a + b)`` over the last axis of 3-D (G, R, D) inputs.
     The sum is returned because transformer blocks need it as the
     residual carry; fusing keeps it to one HBM round trip."""
-    y, s = _add_fwd(a, b, scale, bias, eps, interpret)
-    return y, s
+    return _fwd_call((a, b), scale, bias, eps, interpret, emit_sum=True)
 
 
 def _add_vjp_fwd(a, b, scale, bias, eps, interpret):
-    y, s = _add_fwd(a, b, scale, bias, eps, interpret)
+    y, s = _fwd_call((a, b), scale, bias, eps, interpret, emit_sum=True)
     return (y, s), (s, scale)
 
 
 def _add_vjp_bwd(eps, interpret, res, grads):
     dy, dsum = grads
     s, scale = res
-    dx, ds, db = _add_bwd_call(s, scale, dy, dsum, eps, interpret)
+    dx, ds, db = _bwd_call((s,), scale, dy, dsum, eps, interpret)
     # s = a + b: both inputs receive the same gradient
     return dx, dx, ds, db
 
@@ -289,54 +251,10 @@ def _add_vjp_bwd(eps, interpret, res, grads):
 fused_add_layernorm.defvjp(_add_vjp_fwd, _add_vjp_bwd)
 
 
-# -- no-sum variant: y = LN(a + b) where the sum is NOT needed again
+# -- y = LN(a + b), sum not needed downstream -----------------------------
 # (e.g. the frozen-in-time block's time residual, which only feeds
 # norm1 — the spatial residual reconnects to the block input,
-# reference timesformer.py:191-193). fwd = 2 reads + 1 write; bwd
-# recomputes the sum from (a, b) in VMEM: 3 reads + 1 write. --
-
-
-def _addns_fwd_kernel(a_ref, b_ref, s_ref, bi_ref, y_ref, *, eps: float):
-    x = a_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
-    d = x.shape[-1]
-    mean = jnp.sum(x, axis=-1, keepdims=True) / d
-    ms = jnp.sum(x * x, axis=-1, keepdims=True) / d
-    var = jnp.maximum(ms - mean * mean, 0.0)
-    rstd = jax.lax.rsqrt(var + eps)
-    y = (x - mean) * rstd * s_ref[...].astype(jnp.float32) \
-        + bi_ref[...].astype(jnp.float32)
-    y_ref[0] = y.astype(y_ref.dtype)
-
-
-def _addns_bwd_kernel(a_ref, b_ref, sc_ref, dy_ref, dx_ref, ds_ref,
-                      db_ref, *, eps: float, num_rows: int):
-    g = pl.program_id(0)
-    r = pl.program_id(1)
-
-    @pl.when(jnp.logical_and(g == 0, r == 0))
-    def _init():
-        ds_ref[...] = jnp.zeros_like(ds_ref)
-        db_ref[...] = jnp.zeros_like(db_ref)
-
-    x = a_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
-    dy = dy_ref[0].astype(jnp.float32)
-    scale = sc_ref[...].astype(jnp.float32)
-    rb, d = x.shape
-    mean = jnp.sum(x, axis=-1, keepdims=True) / d
-    ms = jnp.sum(x * x, axis=-1, keepdims=True) / d
-    var = jnp.maximum(ms - mean * mean, 0.0)
-    rstd = jax.lax.rsqrt(var + eps)
-    xhat = (x - mean) * rstd
-    gg = dy * scale
-    gm = jnp.sum(gg, axis=-1, keepdims=True) / d
-    gxm = jnp.sum(gg * xhat, axis=-1, keepdims=True) / d
-    dx_ref[0] = (rstd * (gg - gm - xhat * gxm)).astype(dx_ref.dtype)
-    row = r * rb + jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
-    valid = row < num_rows
-    ds_ref[...] += jnp.sum(jnp.where(valid, dy * xhat, 0.0),
-                           axis=0, keepdims=True)
-    db_ref[...] += jnp.sum(jnp.where(valid, dy, 0.0),
-                           axis=0, keepdims=True)
+# reference timesformer.py:191-193)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -344,44 +262,18 @@ def fused_add_layernorm_nosum(a, b, scale, bias, eps: float = 1e-5,
                               interpret: bool = False):
     """``LN(a + b)`` when the sum itself is NOT needed downstream — the
     sum never touches HBM in either direction."""
-    G, R, D = a.shape
-    rb = _row_block(R, D, a.dtype.itemsize, bwd=True)
-    slab, vec, grid = _specs(G, R, D, rb)
-    return pl.pallas_call(
-        functools.partial(_addns_fwd_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct(a.shape, a.dtype),
-        grid=grid,
-        in_specs=[slab, slab, vec, vec],
-        out_specs=slab,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
-        interpret=interpret,
-    )(a, b, scale.reshape(1, D), bias.reshape(1, D))
+    return _fwd_call((a, b), scale, bias, eps, interpret, emit_sum=False)
 
 
 def _addns_vjp_fwd(a, b, scale, bias, eps, interpret):
-    return (fused_add_layernorm_nosum(a, b, scale, bias, eps, interpret),
+    return (_fwd_call((a, b), scale, bias, eps, interpret, emit_sum=False),
             (a, b, scale))
 
 
 def _addns_vjp_bwd(eps, interpret, res, dy):
     a, b, scale = res
-    G, R, D = a.shape
-    rb = _row_block(R, D, a.dtype.itemsize, bwd=True)
-    slab, vec, grid = _specs(G, R, D, rb)
-    dx, ds, db = pl.pallas_call(
-        functools.partial(_addns_bwd_kernel, eps=eps, num_rows=R),
-        out_shape=(jax.ShapeDtypeStruct(a.shape, a.dtype),
-                   jax.ShapeDtypeStruct((1, D), jnp.float32),
-                   jax.ShapeDtypeStruct((1, D), jnp.float32)),
-        grid=grid,
-        in_specs=[slab, slab, vec, slab],
-        out_specs=(slab, vec, vec),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
-        interpret=interpret,
-    )(a, b, scale.reshape(1, D), dy)
-    return dx, dx, ds.reshape(D), db.reshape(D)
+    dx, ds, db = _bwd_call((a, b), scale, dy, None, eps, interpret)
+    return dx, dx, ds, db
 
 
 fused_add_layernorm_nosum.defvjp(_addns_vjp_fwd, _addns_vjp_bwd)

@@ -131,8 +131,15 @@ class CheckpointManager:
 
     def restore(self, target: Any, tag: str = "latest") -> tuple[Any, dict]:
         """Restore into the structure of ``target``; returns
-        (tree, metadata)."""
-        path = self._path(tag) if not osp.isabs(tag) else tag
+        (tree, metadata). ``tag`` is either a bare tag ('latest', 'best',
+        an epoch tag) resolved inside ``output_dir``, or a filesystem
+        path to a checkpoint dir — absolute, or relative to the CWD if
+        it contains a path separator (so ``--resume runs/a/foo`` is not
+        silently rewritten to ``output_dir/checkpoint_runs/a/foo``)."""
+        if osp.isabs(tag) or os.sep in tag:
+            path = osp.abspath(tag)
+        else:
+            path = self._path(tag)
         abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
             if hasattr(x, "dtype") else x, target)

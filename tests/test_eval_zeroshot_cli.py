@@ -90,6 +90,43 @@ def test_eval_ek100_mir_sentence_column_selection(ek100_fixture,
     assert np.isfinite(out["mAP_avg"])
 
 
+def test_eval_ek100_mir_list_narrations(ek100_fixture, monkeypatch):
+    """--narration-selection list with list-valued metadata narrations:
+    the eval scores every narration ((V, V·n) embeddings) and pools to
+    (V, V) before the sentence-csv column selection (reference
+    eval_zeroshot.py:316-333 + 174-190).  Stock EPIC csvs carry one
+    narration per row; here the parser is patched to return 2-lists,
+    standing in for rephraser-style metadata."""
+    root, meta = ek100_fixture
+    import cli.eval_zeroshot as ez
+    from lavila_tpu.data import datasets as D
+
+    orig = D.parse_ek100_metadata
+
+    def with_lists(root_, metadata_):
+        return [s[:3] + ([s[3], s[3] + " rephrased"],) + s[4:]
+                for s in orig(root_, metadata_)]
+
+    monkeypatch.setattr(D, "parse_ek100_metadata", with_lists)
+    seen = []
+    orig_map = ez.M.retrieval_map
+
+    def spy(sim, rel):
+        seen.append((sim.shape, rel.shape))
+        return orig_map(sim, rel)
+
+    monkeypatch.setattr(ez.M, "retrieval_map", spy)
+    args = ez.get_args_parser().parse_args([
+        "--dataset", "ek100_mir", "--root", root, "--metadata", meta,
+        "--model", "CLIP_OPENAI_TIMESFORMER_MINI", "--clip-length", "4",
+        "--batch-size", "2", "--workers", "2",
+        "--narration-selection", "list", "--narration-pool", "max"])
+    out = ez.main(args)
+    # pooled over n=2 narrations back to (V, sentences) before scoring
+    assert seen == [((4, 3), (4, 3))]
+    assert np.isfinite(out["mAP_avg"])
+
+
 def test_embed_dataset_multiple_narrations(tmp_path):
     """narration_selection='list': ego4d samples carrying n narrations
     produce (B, n, L) token batches; embed_dataset flattens them so the
