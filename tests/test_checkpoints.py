@@ -25,6 +25,25 @@ def test_roundtrip_with_config(tmp_path):
     assert meta["metrics"]["map"] == 29.7
 
 
+def test_restore_accepts_path_tags(tmp_path, monkeypatch):
+    """A --resume value naming a real checkpoint dir (absolute OR
+    CWD-relative with a separator) restores from that path; only bare
+    tags resolve inside output_dir — `runs/a/checkpoint_latest` must not
+    be rewritten to `output_dir/checkpoint_runs/a/checkpoint_latest`."""
+    src = tmp_path / "runs" / "a"
+    CheckpointManager(str(src)).save(tree(), epoch=5)
+    other = CheckpointManager(str(tmp_path / "elsewhere"))
+    restored, meta = other.restore(
+        tree(), str(src / "checkpoint_latest"))      # absolute path
+    assert meta["epoch"] == 5
+    monkeypatch.chdir(tmp_path)
+    restored, meta = other.restore(
+        tree(), "runs/a/checkpoint_latest")          # CWD-relative path
+    assert meta["epoch"] == 5
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.arange(6.0).reshape(2, 3))
+
+
 def test_epoch_and_best_copies(tmp_path):
     mgr = CheckpointManager(str(tmp_path))
     mgr.save(tree(), epoch=0, is_best=True)
