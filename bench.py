@@ -131,7 +131,8 @@ NARRATOR_MODELS = {
 
 
 def narrator_bench(batch_size: int = 16, max_len: int = 77,
-                   decoder: str = "base", skip_reforward: bool = False):
+                   decoder: str = "base", skip_reforward: bool = False,
+                   bf16_params: bool = False):
     """Secondary benchmark: GPT-2 narrator decode throughput
     (narrations/sec), cached scan decode vs the reference's
     re-forward-the-whole-prefix strategy (reference narrator.py:118-119)
@@ -147,6 +148,12 @@ def narrator_bench(batch_size: int = 16, max_len: int = 77,
                          jnp.bfloat16)
     text = jnp.zeros((1, 8), jnp.int32)
     params = model.init(jax.random.key(0), frames[:1], text)["params"]
+    if bf16_params:
+        # inference-only: halves the per-step weight stream (the XL
+        # decode is weight-bandwidth-bound at small batch, docs/PERF.md)
+        params = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p, params)
     variables = {"params": params}
 
     tokens = jax.jit(lambda v, f: model.apply(
@@ -289,11 +296,15 @@ if __name__ == "__main__":
     ap.add_argument("--skip-reforward", action="store_true",
                     help="narrator: skip the reference-style re-forward "
                          "comparison run")
+    ap.add_argument("--bf16-params", action="store_true",
+                    help="narrator: cast params to bf16 (inference mode; "
+                         "the PARITY.md XL rows use this)")
     args = ap.parse_args()
     if args.narrator:
         narrator_bench(batch_size=args.batch_size or 16,
                        decoder=args.decoder,
-                       skip_reforward=args.skip_reforward)
+                       skip_reforward=args.skip_reforward,
+                       bf16_params=args.bf16_params)
     elif args.data:
         data_pipeline_bench()
     else:
