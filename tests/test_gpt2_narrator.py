@@ -188,3 +188,27 @@ def test_top_p_bisection_long_tailed_logits():
         keep_bis = np.asarray(S.apply_top_p(logits, p)) > S.NEG_INF / 2
         mass = (probs * keep_bis).sum(-1)
         assert (mass >= p - 1e-5).all(), f"p={p}: {mass}"
+
+
+def test_mulreduce_decode_matches_segmented():
+    """The lane-filling-batch (B >= 128) dot-free decode attention must
+    equal the MXU-segmented formulation bit-for-bit in math terms (same
+    f32 products and per-head sums, different op shapes)."""
+    from lavila_tpu.models.gpt2 import (_mulreduce_decode_attention,
+                                        _segmented_decode_attention)
+    rng = np.random.default_rng(3)
+    # B = 64: below the routing threshold, so _segmented_decode_attention
+    # really runs its dot path here (at B >= 128 it would dispatch to
+    # _mulreduce itself and the comparison would be vacuous)
+    B, K, H, d = 64, 6, 4, 16
+    D = H * d
+    q = jnp.asarray(rng.normal(size=(B, 1, D)), jnp.float32)
+    kc = jnp.asarray(rng.normal(size=(B, K, D)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(B, K, D)), jnp.float32)
+    kn = jnp.asarray(rng.normal(size=(B, 1, D)), jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(B, 1, D)), jnp.float32)
+    for idx in (0, 3, K):
+        a = _segmented_decode_attention(q, kc, vc, kn, vn, idx, H, d)
+        b = _mulreduce_decode_attention(q, kc, vc, kn, vn, idx, H, d)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5), idx
