@@ -47,12 +47,16 @@ def get_args_parser():
     p.add_argument("--max-samples", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-json", default="")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute + params (the reference's "
+                        "--use-half, eval_narrator.py:86)")
     return p
 
 
 def main(args):
     model = build_model(args.model, num_frames=args.clip_length,
-                        gated_xattn=True)
+                        gated_xattn=True,
+                        **({"dtype": jnp.bfloat16} if args.bf16 else {}))
     crop = 336 if "336PX" in args.model else (
         64 if "MINI" in args.model else 224)
     transform = T.EvalTransform(crop, *T.normalization_for_model(args.model))
@@ -94,6 +98,10 @@ def main(args):
             mgr = CheckpointManager(osp.dirname(args.checkpoint) or ".")
             tree, _ = mgr.restore({"params": params}, tag=args.checkpoint)
             params = tree["params"]
+    if args.bf16:
+        params = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p, params)
     variables = {"params": params}
 
     encode_image = jax.jit(

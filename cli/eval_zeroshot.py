@@ -57,6 +57,9 @@ def get_args_parser():
                    choices=["max", "mean"],
                    help="pooling over narrations when "
                         "--narration-selection list")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute + params (the reference's "
+                        "--use-half, eval_zeroshot.py:56)")
     p.add_argument("--cls-use-template", action="store_true",
                    help="egocentric prompt templates '#C C {}' / '#C {}' "
                         "for classification label embeddings "
@@ -86,7 +89,10 @@ def load_model_from_checkpoint(args):
     config.setdefault("model", model_name)
     config.setdefault("clip_length", args.clip_length)
     cfg_ns = _Namespace(config)
-    model = build_model(model_name, **model_kwargs_from_config(cfg_ns))
+    kw = model_kwargs_from_config(cfg_ns)
+    if getattr(args, "bf16", False):
+        kw["dtype"] = jnp.bfloat16
+    model = build_model(model_name, **kw)
     tokenizer = generate_tokenizer(model_name)
 
     frames = jnp.zeros((1, args.clip_length,) + crop_shape(model_name),
@@ -119,6 +125,10 @@ def load_model_from_checkpoint(args):
             mgr = CheckpointManager(osp.dirname(args.checkpoint) or ".")
             tree, _ = mgr.restore({"params": params}, tag=args.checkpoint)
             params = tree["params"]
+    if getattr(args, "bf16", False):
+        params = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p, params)
     return model, {"params": params}, tokenizer, model_name
 
 

@@ -46,6 +46,12 @@ def get_args_parser():
     p.add_argument("--max-samples", type=int, default=0)
     p.add_argument("--output-dir", default="/tmp/narrator_out")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute + params (the reference's "
+                        "--use-half, main_infer_narrator.py:49; halves "
+                        "the decode weight stream — docs/PERF.md). "
+                        "Batches >= 128 additionally get the "
+                        "lane-filling decode formulation")
     return p
 
 
@@ -55,7 +61,8 @@ def main(args):
     os.makedirs(args.output_dir, exist_ok=True)
 
     model = build_model(args.model, num_frames=args.clip_length,
-                        gated_xattn=True)
+                        gated_xattn=True,
+                        **({"dtype": jnp.bfloat16} if args.bf16 else {}))
     crop = 336 if "336PX" in args.model else (
         64 if "MINI" in args.model else 224)
     transform = T.EvalTransform(crop, *T.normalization_for_model(args.model))
@@ -92,6 +99,10 @@ def main(args):
             mgr = CheckpointManager(osp.dirname(args.checkpoint) or ".")
             tree, _ = mgr.restore({"params": params}, tag=args.checkpoint)
             params = tree["params"]
+    if args.bf16:
+        params = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p, params)
     variables = {"params": params}
 
     try:
