@@ -172,6 +172,20 @@ def _segmented_decode_attention(q, k_cache, v_cache, k_new, v_new,
         # at B < 128 (D lane-minor) the same form is 2-4x SLOWER than
         # the dots — in-lane segment reduces, the layout tax the
         # segmented formulation exists to avoid.
+        from lavila_tpu.ops.attention import get_attention_backend
+        if D >= 1280 and get_attention_backend() == "pallas":
+            # big decoders (gpt2-large/xl): the fused Pallas kernel
+            # beats the XLA mul-reduce by another ~9% (82.7 vs 75.7
+            # narr/s, XL b128) — one VMEM pass over the k/v slabs.
+            # Base (D=768) measured SLOWER under the kernel (405 vs
+            # 429): its slabs are too small to amortize the per-row
+            # unrolled dots, so it stays on the mul-reduce.
+            from lavila_tpu.ops.pallas.decode_attention import \
+                decode_attention_fused
+            nv = cache_index if num_valid is None else num_valid
+            return decode_attention_fused(
+                q, k_cache, v_cache, k_new, v_new, nv, n_head, head_dim,
+                interpret=jax.default_backend() != "tpu")
         return _mulreduce_decode_attention(
             q, k_cache, v_cache, k_new, v_new, cache_index,
             n_head, head_dim, num_valid)

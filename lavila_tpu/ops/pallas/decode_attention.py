@@ -1,0 +1,113 @@
+"""Fused single-query decode attention over a flat (B, K, D) KV cache.
+
+Inference-only (no VJP): one VMEM pass per layer per decode step for the
+narrator's KV-cache self-attention at lane-filling batches (B >= 128).
+
+Why a kernel: at B >= 128 the XLA mul-reduce formulation
+(models/gpt2.py:_mulreduce_decode_attention) leaves the f32 product,
+probs broadcast and reductions partially unfused — the adopted-path
+xplane trace showed ~5-8 ms/step of standalone `reduce` /
+`broadcast_in_dim` / `convert_multiply` ops re-streaming (B, K, D)
+temporaries through HBM. Here the whole per-layer attention is computed
+from one read of the k/v slabs:
+
+  * per batch row, scores are a full-width MXU dot of the (K, D) key
+    slab against q ⊙ seg — the head-segment matrix trick from
+    ops/pallas/divided.py; never lane-slice 64-dim heads out of D
+    (Mosaic pays VPU repacks for in-lane segment reductions).
+  * softmax (f32) over the K cached positions PLUS the current token's
+    precomputed per-head score (`score_new`, built by the caller — a
+    1-row segmented dot, which Mosaic cannot lower, but XLA does fine).
+  * the output accumulates probs @ segᵀ ⊙ v with a sublane reduce
+    over K; the current token's probability row is RETURNED (B, H) and
+    applied to (k_new, v_new) by the caller in XLA.
+
+HBM traffic = k + v slabs in, (B, D) out — the floor. The kernel is
+numerically the same math as models/gpt2.py:_segmented_decode_attention
+(equivalence-tested in interpret mode, tests/test_decode_attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, k_ref, v_ref, seg_ref, segt_ref, sn_ref, bias_ref,
+            out_ref, pnew_ref, *, scale: float, block_b: int):
+    segf = seg_ref[...].astype(jnp.float32)               # (D, H)
+    segt = segt_ref[...]                                  # (H, D)
+    bias = bias_ref[...].astype(jnp.float32)              # (K, 1)
+    for i in range(block_b):
+        # minor-dim insertion is only lowerable for 32-bit types, so the
+        # (D,) -> (D, 1) step happens in f32 and casts back for the dot
+        qcol = q_ref[i].astype(jnp.float32)[:, None]      # (D, 1)
+        q_seg = (qcol * segf).astype(k_ref.dtype)         # (D, H)
+        scores = jax.lax.dot(
+            k_ref[i], q_seg,
+            preferred_element_type=jnp.float32)           # (K, H)
+        scores = scores * scale + bias
+        s_new = sn_ref[i].astype(jnp.float32) * scale     # (H,)
+        m = jnp.maximum(jnp.max(scores, axis=0), s_new)   # (H,)
+        e_old = jnp.exp(scores - m[None])                 # (K, H)
+        e_new = jnp.exp(s_new - m)                        # (H,)
+        z = jnp.sum(e_old, axis=0) + e_new
+        p_old = (e_old / z[None]).astype(k_ref.dtype)
+        pnew_ref[i] = (e_new / z).astype(pnew_ref.dtype)
+        p_exp = jax.lax.dot(
+            p_old, segt,
+            preferred_element_type=jnp.float32)           # (K, D)
+        out = jnp.sum(p_exp * v_ref[i].astype(jnp.float32), axis=0)
+        out_ref[i] = out.astype(out_ref.dtype)
+
+
+def decode_attention_fused(q, k_cache, v_cache, k_new, v_new,
+                           num_valid, n_head: int, head_dim: int,
+                           block_b: int = 8, interpret: bool = False):
+    """(B, 1, D) single-query attention; same contract as
+    models/gpt2.py:_segmented_decode_attention with a non-None new
+    token. ``num_valid``: cache positions < it are attended (the
+    current token is always attended via (k_new, v_new))."""
+    B, _, D = q.shape
+    K = k_cache.shape[1]
+    H, d = n_head, head_dim
+    dtype = q.dtype
+    qf = q[:, 0]
+    seg = (jnp.arange(D)[:, None] // d
+           == jnp.arange(H)[None, :]).astype(dtype)       # (D, H)
+    # current token's per-head score: 1-row segmented dot — Mosaic
+    # can't lower 1-row dots, XLA can (divided.py has the same split)
+    score_new = jnp.einsum("bD,Dh->bh",
+                           qf * k_new[:, 0].astype(dtype), seg,
+                           preferred_element_type=jnp.float32)
+    bias = jnp.where(jnp.arange(K) < num_valid, 0.0,
+                     jnp.finfo(jnp.float32).min)[:, None]  # (K, 1)
+    scale = 1.0 / float(d) ** 0.5
+
+    while B % block_b:     # edge blocks would softmax garbage rows
+        block_b //= 2
+    grid = (pl.cdiv(B, block_b),)
+    bspec = lambda *shape: pl.BlockSpec(                  # noqa: E731
+        (block_b,) + shape, lambda b: (b,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
+    full = lambda *shape: pl.BlockSpec(                   # noqa: E731
+        shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
+    out_old, p_new = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, block_b=block_b),
+        out_shape=(jax.ShapeDtypeStruct((B, D), dtype),
+                   jax.ShapeDtypeStruct((B, H), jnp.float32)),
+        grid=grid,
+        in_specs=[bspec(D), bspec(K, D), bspec(K, D),
+                  full(D, H), full(H, D), bspec(H), full(K, 1)],
+        out_specs=(bspec(D), bspec(H)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(qf, k_cache.astype(dtype), v_cache.astype(dtype), seg,
+      seg.T, score_new, bias)
+    out = out_old + (p_new.astype(dtype) @ seg.T) * v_new[:, 0].astype(dtype)
+    return out[:, None]
