@@ -149,11 +149,8 @@ def narrator_bench(batch_size: int = 16, max_len: int = 77,
     text = jnp.zeros((1, 8), jnp.int32)
     params = model.init(jax.random.key(0), frames[:1], text)["params"]
     if bf16_params:
-        # inference-only: halves the per-step weight stream (the XL
-        # decode is weight-bandwidth-bound at small batch, docs/PERF.md)
-        params = jax.tree.map(
-            lambda p: p.astype(jnp.bfloat16)
-            if p.dtype == jnp.float32 else p, params)
+        from lavila_tpu.utils.precision import cast_params_bf16
+        params = cast_params_bf16(params)
     variables = {"params": params}
 
     tokens = jax.jit(lambda v, f: model.apply(
@@ -300,6 +297,10 @@ if __name__ == "__main__":
                     help="narrator: cast params to bf16 (inference mode; "
                          "the PARITY.md XL rows use this)")
     args = ap.parse_args()
+    if args.bf16_params and not args.narrator:
+        import sys
+        print("--bf16-params only applies with --narrator", file=sys.stderr)
+        sys.exit(2)
     if args.narrator:
         narrator_bench(batch_size=args.batch_size or 16,
                        decoder=args.decoder,

@@ -126,9 +126,8 @@ def load_model_from_checkpoint(args):
             tree, _ = mgr.restore({"params": params}, tag=args.checkpoint)
             params = tree["params"]
     if getattr(args, "bf16", False):
-        params = jax.tree.map(
-            lambda p: p.astype(jnp.bfloat16)
-            if p.dtype == jnp.float32 else p, params)
+        from lavila_tpu.utils.precision import cast_params_bf16
+        params = cast_params_bf16(params)
     return model, {"params": params}, tokenizer, model_name
 
 

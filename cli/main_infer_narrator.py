@@ -100,9 +100,8 @@ def main(args):
             tree, _ = mgr.restore({"params": params}, tag=args.checkpoint)
             params = tree["params"]
     if args.bf16:
-        params = jax.tree.map(
-            lambda p: p.astype(jnp.bfloat16)
-            if p.dtype == jnp.float32 else p, params)
+        from lavila_tpu.utils.precision import cast_params_bf16
+        params = cast_params_bf16(params)
     variables = {"params": params}
 
     try:

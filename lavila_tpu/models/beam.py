@@ -89,8 +89,11 @@ class BeamDecoder:
         B = batch * num_beams
         image_rep = jnp.repeat(image_tokens, num_beams, axis=0)
         cross_kv = self._prepare(self.params, image_rep)
+        # cache in the model's compute dtype — a f32 cache under --bf16
+        # would silently double the per-step decode stream
         cache = init_cache(self.model.text_decoder.cfg, B,
-                           self.max_text_length)
+                           self.max_text_length,
+                           dtype=getattr(self.model, "dtype", jnp.float32))
 
         ids = np.full((B, 1), self.bos_id, np.int64)
         beam_scores = np.tile(init_beam_scores[None], (batch, 1)).reshape(-1)

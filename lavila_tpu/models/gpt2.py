@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from lavila_tpu.ops.basic import ACTIVATIONS, LayerNorm
+from lavila_tpu.ops.basic import (ACTIVATIONS, LayerNorm,
+                                  head_segments as _head_segments)
 
 Dtype = Any
 
@@ -91,11 +92,6 @@ def init_cache(cfg: GPT2Config, batch: int, max_len: int,
     }
 
 
-def _head_segments(n_head: int, head_dim: int, dtype) -> jax.Array:
-    """(D, H) 0/1 matrix with seg[i, h] = 1 iff i // head_dim == h."""
-    D = n_head * head_dim
-    return (jnp.arange(D)[:, None] // head_dim
-            == jnp.arange(n_head)[None, :]).astype(dtype)
 
 
 def _mulreduce_decode_attention(q, k_cache, v_cache, k_new, v_new,
@@ -173,15 +169,17 @@ def _segmented_decode_attention(q, k_cache, v_cache, k_new, v_new,
         # the dots — in-lane segment reduces, the layout tax the
         # segmented formulation exists to avoid.
         from lavila_tpu.ops.attention import get_attention_backend
-        if D >= 1280 and get_attention_backend() == "pallas":
+        from lavila_tpu.ops.pallas.decode_attention import (
+            decode_attention_fused, max_block_b)
+        if (D >= 1280 and get_attention_backend() == "pallas"
+                and max_block_b(K, D, jnp.dtype(dtype).itemsize) >= 1):
             # big decoders (gpt2-large/xl): the fused Pallas kernel
             # beats the XLA mul-reduce by another ~9% (82.7 vs 75.7
             # narr/s, XL b128) — one VMEM pass over the k/v slabs.
             # Base (D=768) measured SLOWER under the kernel (405 vs
             # 429): its slabs are too small to amortize the per-row
-            # unrolled dots, so it stays on the mul-reduce.
-            from lavila_tpu.ops.pallas.decode_attention import \
-                decode_attention_fused
+            # unrolled dots, so it stays on the mul-reduce; so do
+            # decode lengths whose slabs outgrow the VMEM budget.
             nv = cache_index if num_valid is None else num_valid
             return decode_attention_fused(
                 q, k_cache, v_cache, k_new, v_new, nv, n_head, head_dim,

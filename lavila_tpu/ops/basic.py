@@ -40,6 +40,19 @@ def squared_relu(x: jax.Array) -> jax.Array:
     return r * r
 
 
+def head_segments(n_head: int, head_dim: int, dtype) -> jax.Array:
+    """(D, H) 0/1 matrix with seg[i, h] = 1 iff i // head_dim == h.
+
+    The head-SEGMENTED formulation: per-head dot products over a flat
+    D = H·d axis become full-width MXU dots against this matrix instead
+    of lane-slicing d-wide heads out of D (which pads every (H, d) tile
+    to (32, 128) and costs VPU repacks — see ops/pallas/divided.py and
+    models/gpt2.py's decode attention, which both build on this)."""
+    D = n_head * head_dim
+    return (jnp.arange(D)[:, None] // head_dim
+            == jnp.arange(n_head)[None, :]).astype(dtype)
+
+
 ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
     "quick_gelu": quick_gelu,
     "gelu": gelu_exact,

@@ -65,6 +65,17 @@ def _kernel(q_ref, k_ref, v_ref, seg_ref, segt_ref, sn_ref, bias_ref,
         out_ref[i] = out.astype(out_ref.dtype)
 
 
+def max_block_b(K: int, D: int, itemsize: int = 2) -> int:
+    """Largest batch-block whose double-buffered k/v slabs + f32 temps
+    fit a ~10 MB VMEM budget (16 MB scoped on v5e, slack for Mosaic
+    temporaries — same discipline as divided.py:_time_nblock). Returns
+    0 when even one row does not fit: callers must then fall back to
+    the XLA formulation instead of letting Mosaic fail at K ~ 256+."""
+    per_row = (2 * 2 * K * D * itemsize      # k, v slabs, double-buffered
+               + 2 * K * D * 4)              # f32 scores/p_exp temps
+    return int(1e7) // per_row
+
+
 def decode_attention_fused(q, k_cache, v_cache, k_new, v_new,
                            num_valid, n_head: int, head_dim: int,
                            block_b: int = 8, interpret: bool = False):
@@ -77,8 +88,8 @@ def decode_attention_fused(q, k_cache, v_cache, k_new, v_new,
     H, d = n_head, head_dim
     dtype = q.dtype
     qf = q[:, 0]
-    seg = (jnp.arange(D)[:, None] // d
-           == jnp.arange(H)[None, :]).astype(dtype)       # (D, H)
+    from lavila_tpu.ops.basic import head_segments
+    seg = head_segments(H, d, dtype)                      # (D, H)
     # current token's per-head score: 1-row segmented dot — Mosaic
     # can't lower 1-row dots, XLA can (divided.py has the same split)
     score_new = jnp.einsum("bD,Dh->bh",
@@ -88,6 +99,13 @@ def decode_attention_fused(q, k_cache, v_cache, k_new, v_new,
                      jnp.finfo(jnp.float32).min)[:, None]  # (K, 1)
     scale = 1.0 / float(d) ** 0.5
 
+    cap = max_block_b(K, D, jnp.dtype(dtype).itemsize)
+    if cap < 1:
+        raise ValueError(
+            f"(K={K}, D={D}) k/v slabs exceed the VMEM budget even at "
+            "block_b=1 — route to the XLA formulation instead "
+            "(check max_block_b before calling)")
+    block_b = min(block_b, cap)
     while B % block_b:     # edge blocks would softmax garbage rows
         block_b //= 2
     grid = (pl.cdiv(B, block_b),)

@@ -211,4 +211,4 @@ def test_mulreduce_decode_matches_segmented():
         a = _segmented_decode_attention(q, kc, vc, kn, vn, idx, H, d)
         b = _mulreduce_decode_attention(q, kc, vc, kn, vn, idx, H, d)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=2e-5, rtol=2e-5), idx
+                                   atol=2e-5, rtol=2e-5, err_msg=str(idx))
