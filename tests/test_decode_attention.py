@@ -38,3 +38,30 @@ def test_fused_odd_batch_falls_back_to_smaller_blocks():
                                  block_b=4, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_large_k_routes_to_mulreduce_not_kernel():
+    """Decode lengths whose k/v slabs exceed the kernel's VMEM budget
+    (max_block_b == 0) must route to the XLA mul-reduce instead of
+    raising from the kernel — checked at trace time via eval_shape."""
+    import jax
+    from lavila_tpu.models.gpt2 import _segmented_decode_attention
+    from lavila_tpu.ops import attention as A
+    from lavila_tpu.ops.pallas.decode_attention import max_block_b
+
+    B, K, H, d = 128, 512, 20, 64
+    D = H * d
+    assert max_block_b(K, D) < 1          # the geometry under test
+    old = A.get_attention_backend()
+    A.set_attention_backend("pallas")     # kernel-eligible backend
+    try:
+        sd = jax.ShapeDtypeStruct
+        out = jax.eval_shape(
+            lambda q, kc, vc, kn, vn: _segmented_decode_attention(
+                q, kc, vc, kn, vn, 5, H, d),
+            sd((B, 1, D), jnp.bfloat16), sd((B, K, D), jnp.bfloat16),
+            sd((B, K, D), jnp.bfloat16), sd((B, 1, D), jnp.bfloat16),
+            sd((B, 1, D), jnp.bfloat16))
+        assert out.shape == (B, 1, D)
+    finally:
+        A.set_attention_backend(old)
