@@ -33,7 +33,7 @@ def get_args_parser():
     p = argparse.ArgumentParser("zero-shot evaluation")
     p.add_argument("--dataset", default="ek100_mir",
                    choices=["ek100_mir", "ek100_cls", "charades_ego",
-                            "egtea", "ego4d_mcq", "synthetic"])
+                            "egtea", "ego4d_mcq"])
     p.add_argument("--root", default="")
     p.add_argument("--metadata", default="")
     p.add_argument("--metadata-val", default="")
