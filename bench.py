@@ -275,9 +275,83 @@ def data_pipeline_bench(num_videos: int = 8, batch_size: int = 16,
     }))
 
 
+def _metric_name(args) -> str:
+    """The metric key the selected mode would report (for error lines)."""
+    if args.narrator:
+        return ("narrator_decode_narrations_per_sec" if args.decoder == "base"
+                else f"narrator_{args.decoder}_decode_narrations_per_sec")
+    if args.data:
+        return "input_pipeline_clips_per_sec_per_core"
+    return f"{args.model}_pretrain_clips_per_sec_per_chip"
+
+
+def _extract_json_line(text: str):
+    """Last stdout line that parses as a bench JSON record, or None."""
+    for line in reversed(text.splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(rec, dict) and "metric" in rec:
+            return line
+    return None
+
+
+def run_with_retry(args, raw_argv, attempts: int = 3,
+                   backoff_s: float = 180.0,
+                   attempt_timeout_s: float = 2400.0) -> int:
+    """Run the bench in a child process, retrying on transient failures.
+
+    Round 3 shipped no driver-visible number because one `Unable to
+    initialize backend 'axon': UNAVAILABLE` at init erased the round's
+    evidence (VERDICT.md weakness 1). JAX caches backend-init failures
+    within a process, so each attempt must be a fresh process. The
+    parent prints EXACTLY ONE JSON line: the child's record on success,
+    or an {"error": ...} record after the last attempt. Child stderr is
+    relayed to our stderr (stdout stays single-line)."""
+    import subprocess
+    import sys
+
+    last_err = "unknown failure"
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--_inner",
+                 *raw_argv],
+                capture_output=True, text=True, timeout=attempt_timeout_s)
+            if proc.stderr:
+                sys.stderr.write(proc.stderr)
+            line = _extract_json_line(proc.stdout)
+            if proc.returncode == 0 and line:
+                print(line)
+                return 0
+            tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+            last_err = (f"rc={proc.returncode}: "
+                        + " | ".join(tail[-3:]))[:500] or \
+                f"rc={proc.returncode} with empty output"
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt timed out after {attempt_timeout_s:.0f}s"
+        print(f"bench attempt {i + 1}/{attempts} failed: {last_err}",
+              file=sys.stderr)
+        if i + 1 < attempts:
+            time.sleep(backoff_s)
+    print(json.dumps({
+        "metric": _metric_name(args),
+        "value": 0.0,
+        "unit": "error",
+        "vs_baseline": 0.0,
+        "error": f"all {attempts} attempts failed; last: {last_err}",
+    }))
+    return 1
+
+
 if __name__ == "__main__":
     import argparse
     ap = argparse.ArgumentParser()
+    ap.add_argument("--_inner", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--narrator", action="store_true",
                     help="GPT-2 narrator decode bench")
     ap.add_argument("--data", action="store_true",
@@ -301,6 +375,10 @@ if __name__ == "__main__":
         import sys
         print("--bf16-params only applies with --narrator", file=sys.stderr)
         sys.exit(2)
+    if not args._inner:
+        import sys
+        raw = [a for a in sys.argv[1:] if a != "--_inner"]
+        sys.exit(run_with_retry(args, raw))
     if args.narrator:
         narrator_bench(batch_size=args.batch_size or 16,
                        decoder=args.decoder,

@@ -45,6 +45,10 @@ def get_args_parser():
     p.add_argument("--clip-stride", type=int, default=16)
     p.add_argument("--num-clips", type=int, default=1)
     p.add_argument("--num-crops", type=int, default=1)
+    p.add_argument("--sparse-sample", action="store_true",
+                   help="evenly-spaced multi-clip sampling over the whole "
+                        "video (EGTEA/classification protocol; reference "
+                        "eval_zeroshot.py:49)")
     p.add_argument("--narration-selection", default="random",
                    choices=["random", "concat", "list"],
                    help="how list-valued narrations are used; 'list' "
@@ -169,10 +173,19 @@ def embed_dataset(model, variables, loader, has_mask=False):
         text = np.asarray(batch["text"])
         mask = np.asarray(batch["mask"]) if has_mask else None
         if text.ndim == 3:  # (B, n_narrations, L)
+            if txts and text.shape[1] != n_narr:
+                raise ValueError(
+                    f"ragged narration lists: batch has {text.shape[1]} "
+                    f"narrations/clip but earlier batches had {n_narr}; "
+                    "--narration-selection list needs a constant count")
             n_narr = text.shape[1]
             text = text.reshape(-1, text.shape[-1])
             if mask is not None:
                 mask = mask.reshape(-1, mask.shape[-1])
+        elif n_narr != 1:
+            raise ValueError(
+                "ragged narration lists: batch has a single narration "
+                f"per clip but earlier batches had {n_narr}")
         if has_mask:
             tv = enc_t(variables, jnp.asarray(text), jnp.asarray(mask))
         else:
@@ -236,7 +249,15 @@ def eval_ek100_mir(model, variables, tokenizer, model_name, *, root,
     video_ids = load_ek100_video_ids(metadata)
     # reference eval_zeroshot.py:176-179: one column per unique sentence,
     # taken from the video row whose narration id matches
-    row_of = {vid: k for k, vid in enumerate(video_ids)}
+    row_of = {}
+    for k, vid in enumerate(video_ids):
+        row_of.setdefault(vid, k)  # first occurrence wins, like the
+        # reference's video_id.tolist().index(elem)
+    missing = [sid for sid in mir.sentence_ids if sid not in row_of]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} sentence ids absent from the metadata csv "
+            f"(e.g. {missing[:3]}): sentence csv / metadata csv disagree")
     indexes = [row_of[sid] for sid in mir.sentence_ids]
     sim = sim[:, indexes]
     rel = mir.rel
@@ -293,8 +314,7 @@ def eval_classification(args, model, variables, tokenizer, model_name,
                          clip_length=args.clip_length,
                          clip_stride=args.clip_stride,
                          num_clips=args.num_clips,
-                         sparse_sample=getattr(args, "sparse_sample",
-                                               False),
+                         sparse_sample=args.sparse_sample,
                          is_trimmed=args.dataset != "charades_ego")
     ds = VideoClassyDataset(dcfg, transform, label_mapping,
                             is_training=False)

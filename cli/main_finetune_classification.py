@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os.path as osp
 
 import jax
@@ -333,7 +334,9 @@ def main(args):
         mgr.save({"params": state.params, "opt_state": state.opt_state},
                  epoch=epoch,
                  config={**config, "num_classes": num_classes},
-                 metrics={**val_metrics, "best_metric": best_metric},
+                 metrics={**val_metrics,
+                          **({"best_metric": best_metric}
+                             if math.isfinite(best_metric) else {})},
                  is_best=is_best,
                  keep_epoch=(epoch + 1) % args.save_freq == 0)
         if jax.process_index() == 0 and val_metrics:

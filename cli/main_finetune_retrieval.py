@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os.path as osp
 
 import jax
@@ -241,9 +242,13 @@ def main(args):
         # collective save: ALL processes enter (orbax writes sharded
         # leaves per-host; a process-0-only save deadlocks a pod — same
         # contract as cli/main_pretrain.py)
+        # best_metric stays out of the sidecar until a validation has
+        # run: -inf would serialize as non-strict-JSON -Infinity
         mgr.save({"params": state.params, "opt_state": state.opt_state},
                  epoch=epoch, config=config,
-                 metrics={**val_metrics, "best_metric": best_metric},
+                 metrics={**val_metrics,
+                          **({"best_metric": best_metric}
+                             if math.isfinite(best_metric) else {})},
                  is_best=is_best,
                  keep_epoch=(epoch + 1) % args.save_freq == 0)
         if jax.process_index() == 0 and val_metrics:

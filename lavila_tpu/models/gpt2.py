@@ -170,9 +170,12 @@ def _segmented_decode_attention(q, k_cache, v_cache, k_new, v_new,
         # segmented formulation exists to avoid.
         from lavila_tpu.ops.attention import get_attention_backend
         from lavila_tpu.ops.pallas.decode_attention import (
-            decode_attention_fused, max_block_b)
+            decode_attention_fused, effective_block_b)
+        # block_b=2 was the measured-winning XL b128 shape; only a
+        # degenerate one-row block (prime B) routes away (ADVICE r3)
         if (D >= 1280 and get_attention_backend() == "pallas"
-                and max_block_b(K, D, jnp.dtype(dtype).itemsize) >= 1):
+                and effective_block_b(
+                    B, K, D, jnp.dtype(dtype).itemsize) >= 2):
             # big decoders (gpt2-large/xl): the fused Pallas kernel
             # beats the XLA mul-reduce by another ~9% (82.7 vs 75.7
             # narr/s, XL b128) — one VMEM pass over the k/v slabs.

@@ -76,6 +76,28 @@ def max_block_b(K: int, D: int, itemsize: int = 2) -> int:
     return int(1e7) // per_row
 
 
+def effective_block_b(B: int, K: int, D: int, itemsize: int = 2,
+                      block_b: int = 8) -> int:
+    """Batch block the kernel will actually run at: the largest divisor
+    of B within the VMEM cap (edge blocks would softmax garbage rows,
+    so the block must divide B). A prime B (131 → 1) degrades the
+    kernel to one-row blocks where the unrolled loop loses to the XLA
+    mul-reduce — callers must route away when this drops below 2
+    (block_b=2 is the measured-winning XL b128 config; models/gpt2.py's
+    B >= 128 branch guards on it). 0 = slabs don't fit VMEM at all.
+
+    Note the divisor search, not halving: the cap is usually odd-ish
+    (XL K=77 → cap 5) and halving from it would run B=128 at block 2
+    when 4 divides it."""
+    cap = min(block_b, max_block_b(K, D, itemsize), B)
+    if cap < 1:
+        return 0
+    for bb in range(cap, 0, -1):
+        if B % bb == 0:
+            return bb
+    return 1
+
+
 def decode_attention_fused(q, k_cache, v_cache, k_new, v_new,
                            num_valid, n_head: int, head_dim: int,
                            block_b: int = 8, interpret: bool = False):
@@ -99,15 +121,13 @@ def decode_attention_fused(q, k_cache, v_cache, k_new, v_new,
                      jnp.finfo(jnp.float32).min)[:, None]  # (K, 1)
     scale = 1.0 / float(d) ** 0.5
 
-    cap = max_block_b(K, D, jnp.dtype(dtype).itemsize)
-    if cap < 1:
+    block_b = effective_block_b(B, K, D, jnp.dtype(dtype).itemsize,
+                                block_b)
+    if block_b < 1:
         raise ValueError(
             f"(K={K}, D={D}) k/v slabs exceed the VMEM budget even at "
             "block_b=1 — route to the XLA formulation instead "
-            "(check max_block_b before calling)")
-    block_b = min(block_b, cap)
-    while B % block_b:     # edge blocks would softmax garbage rows
-        block_b //= 2
+            "(check effective_block_b before calling)")
     grid = (pl.cdiv(B, block_b),)
     bspec = lambda *shape: pl.BlockSpec(                  # noqa: E731
         (block_b,) + shape, lambda b: (b,) + (0,) * len(shape),

