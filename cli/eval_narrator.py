@@ -44,6 +44,11 @@ def get_args_parser():
     p.add_argument("--temperature", type=float, default=0.7)
     p.add_argument("--top-p", type=float, default=0.95)
     p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--num-return-sequences", type=int, default=1,
+                   help="candidates per clip; every candidate is scored "
+                        "against the clip's references (reference "
+                        "--caption-num-return-sequences, "
+                        "eval_narrator.py:215-261)")
     p.add_argument("--max-samples", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-json", default="")
@@ -127,20 +132,27 @@ def main(args):
         key, k1, k2 = jax.random.split(key, 3)
         _, tf_ppl = teacher(variables, toks, tgt, k1)
         ppls.extend(np.asarray(tf_ppl).tolist())
+        nrs = args.num_return_sequences
         if args.decoding == "sample":
-            ids, _ = free(variables, toks, k2)
+            # interleaved repeat = the reference's repeat_interleave
+            # (eval_narrator.py:107-108): nrs independent draws per clip
+            toks_s = jnp.repeat(toks, nrs, axis=0) if nrs > 1 else toks
+            ids, _ = free(variables, toks_s, k2)
             ids = np.asarray(ids)
         elif args.decoding == "beam":
-            ids, _ = dec.beam_search(toks, num_beams=5)
+            ids, _ = dec.beam_search(toks, num_beams=5,
+                                     num_return_sequences=nrs)
         elif args.decoding == "beam_sample":
             ids, _ = dec.beam_sample(toks,
                                      rng=np.random.default_rng(args.seed),
                                      num_beams=5,
                                      temperature=args.temperature,
-                                     top_p=args.top_p)
+                                     top_p=args.top_p,
+                                     num_return_sequences=nrs)
         else:
             ids, _ = dec.group_beam_search(toks, num_beams=6,
-                                           num_beam_groups=3)
+                                           num_beam_groups=3,
+                                           num_return_sequences=nrs)
         for row in ids:
             row = list(row[1:])
             if eos in row:
@@ -149,8 +161,10 @@ def main(args):
         n = batch["frames"].shape[0]
         for j in range(n):
             narration = raw.samples[sample_idx + j][3]
-            refs.append(narration if isinstance(narration, list)
-                        else [narration])
+            rr = narration if isinstance(narration, list) else [narration]
+            # each of the nrs candidates scores against the same refs
+            # (reference eval_narrator.py:259-261)
+            refs.extend([rr] * nrs)
         sample_idx += n
 
     # BERT-tokenizer re-normalization of hyps AND refs before scoring

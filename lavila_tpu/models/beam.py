@@ -186,7 +186,20 @@ class BeamDecoder:
                     length_penalty: float = 1.0):
         """Stochastic beam search: draw 2·num_beams candidates by sampling
         the warped joint (beam+token) distribution, rank by joint score
-        (reference narrator.py:179-227)."""
+        (reference narrator.py:179-227).
+
+        ``num_return_sequences > 1`` runs nrs INDEPENDENT beam sets per
+        sample — the reference builds BeamSearchScorer(batch_size=
+        batch·nrs, narrator.py:167-176) and takes one hypothesis from
+        each set, which gives more diverse returns than the top-n of a
+        single pool (group_beam_search is the single-pool/top-n mode,
+        reference narrator.py:262-264)."""
+        if num_return_sequences > 1:
+            # interleaved repeat keeps the output row order
+            # (b0r0, b0r1, ..., b1r0, ...) = the reference's
+            # expanded_return_idx layout (narrator.py:157-160)
+            image_tokens = jnp.repeat(image_tokens, num_return_sequences,
+                                      axis=0)
         slots = np.arange(num_beams)
 
         def select(logp, beam_scores):
@@ -213,10 +226,11 @@ class BeamDecoder:
                 cb[b] = picks // V
             return [(slots, cs, ct, cb)]
 
-        init = np.full(num_beams, -1e9, np.float32)
-        init[0] = 0.0
+        # reference beam_sample starts ALL beams at score 0 (identical
+        # prefixes diverge through the stochastic draws, narrator.py:174)
+        init = np.zeros(num_beams, np.float32)
         return self._run(image_tokens, num_beams, select, length_penalty,
-                         num_return_sequences, init)
+                         1, init)
 
     def beam_search(self, image_tokens, *, num_beams: int = 3,
                     num_return_sequences: int = 1,

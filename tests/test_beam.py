@@ -51,6 +51,34 @@ def test_beam_sample_stochastic():
     assert np.isfinite(scores).all()
 
 
+def test_beam_sample_nrs_runs_independent_pools(monkeypatch):
+    """num_return_sequences=k must run k INDEPENDENT beam sets per
+    sample (reference BeamSearchScorer(batch_size=batch*nrs),
+    narrator.py:167-176) — not the top-k of one pool — and start all
+    beams at score 0 (narrator.py:174)."""
+    m, params, tokens = build()
+    dec = BeamDecoder(m, params, bos_id=1, eos_id=2, max_text_length=8)
+    calls = {}
+    orig = BeamDecoder._run
+
+    def spy(self, image_tokens, num_beams, select_fn, lp, nrs, init):
+        calls["rows"] = image_tokens.shape[0]
+        calls["nrs"] = nrs
+        calls["init"] = np.array(init)
+        return orig(self, image_tokens, num_beams, select_fn, lp, nrs,
+                    init)
+
+    monkeypatch.setattr(BeamDecoder, "_run", spy)
+    seqs, scores = dec.beam_sample(tokens, rng=np.random.default_rng(0),
+                                   num_beams=2, num_return_sequences=3,
+                                   temperature=1.5, top_k=16)
+    assert seqs.shape == (6, 8)          # batch=2, interleaved b0r0..b0r2
+    assert np.isfinite(scores).all()
+    assert calls["rows"] == 6            # 2 samples x 3 independent sets
+    assert calls["nrs"] == 1             # one hypothesis per set
+    np.testing.assert_array_equal(calls["init"], np.zeros(2, np.float32))
+
+
 def test_group_beam_search():
     m, params, tokens = build()
     dec = BeamDecoder(m, params, bos_id=1, eos_id=2, max_text_length=8)

@@ -70,6 +70,35 @@ def test_eval_narrator_cli(ego4d_val, tmp_path, gpt2_vocab_dir, monkeypatch):
     assert saved.keys() == out.keys()
 
 
+def test_eval_narrator_cli_beam_sample_nrs(ego4d_val, tmp_path,
+                                           gpt2_vocab_dir, monkeypatch):
+    """--decoding beam_sample --num-return-sequences 2: every clip gets
+    2 candidates, each scored against the clip's references (reference
+    eval_narrator.py:215-261)."""
+    monkeypatch.setenv("LAVILA_TOKENIZER_DIR", gpt2_vocab_dir)
+    root, meta = ego4d_val
+    import cli.eval_narrator as en
+    from lavila_tpu.eval import nlg
+
+    seen = {}
+    orig = nlg.nlg_scores
+
+    def spy(hyps, refs):
+        seen["n_hyps"], seen["n_refs"] = len(hyps), len(refs)
+        return orig(hyps, refs)
+
+    monkeypatch.setattr(en, "nlg_scores", spy)
+    args = en.get_args_parser().parse_args([
+        "--dataset", "ego4d", "--root", root, "--metadata", meta,
+        "--model", "VCLM_OPENAI_TIMESFORMER_MINI_GPT2_MINI",
+        "--clip-length", "2", "--batch-size", "2", "--workers", "0",
+        "--eval-freq", "1", "--decoding", "beam_sample",
+        "--num-return-sequences", "2"])
+    out = en.main(args)
+    assert np.isfinite(out["teacher_ppl"])
+    assert seen["n_hyps"] == seen["n_refs"] == 8  # 4 clips x 2 candidates
+
+
 def test_eval_narrator_counts_depths_from_checkpoint(
         ego4d_val, tmp_path, gpt2_vocab_dir, monkeypatch):
     """Tower depths must be counted from the checkpoint keys
