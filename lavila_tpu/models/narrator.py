@@ -99,7 +99,17 @@ class VCLM(nn.Module):
         With ``target``: per-step NLL against the target (teacher PPL);
         without: entropy of the predictive distribution — both masked
         after EOS, matching the reference bookkeeping
-        (reference narrator.py:115-136)."""
+        (reference narrator.py:115-136).
+
+        Free decoding EARLY-EXITS once every row has sampled EOS
+        (reference narrator.py:131-136 breaks the decode loop the same
+        way): a ``lax.while_loop`` replaces the fixed-length scan, so a
+        batch of typical ~10-15-token Ego4D narrations pays ~max-length
+        steps instead of the full 77. Tokens produced before the exit
+        are bit-identical to the fixed-length run (the rng split chain
+        is the same sequence, just stopped sooner); positions after the
+        exit are ``pad_id``. With ``target`` the loop always runs full
+        length (teacher-PPL bookkeeping needs every position)."""
         image_tokens = jnp.repeat(image_tokens, num_return_sequences, axis=0)
         B = image_tokens.shape[0]
         cross_kv = self.prepare_decode(image_tokens)
@@ -107,9 +117,19 @@ class VCLM(nn.Module):
                            dtype=self.dtype)
 
         bos = jnp.full((B,), bos_id, jnp.int32)
+        L = max_text_length
+        early_exit = target is None
+        out0 = jnp.full((B, L), pad_id, jnp.int32).at[:, 0].set(bos_id)
 
-        def step(carry, i):
-            cache, cur, key, nlls, counts, reached = carry
+        def cond(carry):
+            i, reached = carry[0], carry[6]
+            live = i < L - 1
+            if early_exit:
+                live = live & ~jnp.all(reached)
+            return live
+
+        def body(carry):
+            i, cache, cur, key, nlls, counts, reached, out = carry
             logits, cache = self.decode_step(cur[:, None], cross_kv, cache,
                                              i)
             logits = logits.astype(jnp.float32)
@@ -133,14 +153,14 @@ class VCLM(nn.Module):
                 feed = target[:, i + 1].astype(jnp.int32)
             else:
                 feed = nxt
-            return (cache, feed, key, nlls, counts, reached), nxt
+            out = jax.lax.dynamic_update_slice(
+                out, nxt[:, None], (jnp.int32(0), i + 1))
+            return (i + 1, cache, feed, key, nlls, counts, reached, out)
 
-        init = (cache, bos, rng, jnp.zeros((B,), jnp.float32),
-                jnp.zeros((B,), jnp.float32), jnp.zeros((B,), bool))
-        carry, sampled = jax.lax.scan(step, init,
-                                      jnp.arange(max_text_length - 1))
-        nlls, counts = carry[3], carry[4]
-        generated = jnp.concatenate(
-            [jnp.full((B, 1), bos_id, jnp.int32), sampled.T], axis=1)
+        init = (jnp.int32(0), cache, bos, rng,
+                jnp.zeros((B,), jnp.float32), jnp.zeros((B,), jnp.float32),
+                jnp.zeros((B,), bool), out0)
+        carry = jax.lax.while_loop(cond, body, init)
+        nlls, counts, generated = carry[4], carry[5], carry[7]
         ppl = jnp.exp(nlls / jnp.maximum(counts, 1.0))
         return generated, ppl

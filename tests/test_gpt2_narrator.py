@@ -102,6 +102,80 @@ def test_vclm_generate_scan():
     assert np.isfinite(np.asarray(ppl)).all()
 
 
+def test_vclm_generate_early_exit_prefix_parity():
+    """Free decoding exits once every row sampled EOS (reference
+    narrator.py:131-136). Tokens before the exit must be BIT-IDENTICAL
+    to a run that never exits (same rng split chain), and positions
+    after the exit are pad_id."""
+    m = tiny_vclm()
+    frames = jnp.asarray(np.random.default_rng(3).normal(
+        size=(2, 2, 32, 32, 3)), jnp.float32)
+    text = jnp.ones((2, 6), jnp.int32)
+    params = m.init(jax.random.key(0), frames, text)
+    image_tokens = m.apply(params, frames, method="encode_image")
+    gen = lambda eos: np.asarray(m.apply(  # noqa: E731
+        params, image_tokens, rng=jax.random.key(5), bos_id=1, eos_id=eos,
+        pad_id=0, max_text_length=24, temperature=1.5,
+        method="generate")[0])
+    # eos 999 is outside the vocab: never sampled -> full-length chain
+    full = gen(999)
+    assert full.shape == (2, 24)
+    # pick a token every row of the full chain contains; treating it as
+    # EOS makes the early exit deterministic and host-computable
+    tok = next((t for t in range(1, 32)
+                if all((full[b, 1:] == t).any() for b in range(2))), None)
+    if tok is None:
+        pytest.skip("no common token in the sampled chains")
+    early = gen(tok)
+    exit_step = max(int(np.argmax(full[b, 1:] == tok)) + 1
+                    for b in range(2))
+    np.testing.assert_array_equal(early[:, :exit_step + 1],
+                                  full[:, :exit_step + 1])
+    assert (early[:, exit_step + 1:] == 0).all()
+
+
+def test_vclm_generate_early_exit_ppl_oracle():
+    """Entropy-PPL from the early-exiting generate == a step-by-step
+    recomputation over the generated chain with per-row EOS masking
+    (post-EOS steps contribute 0, so exiting early cannot change it)."""
+    from lavila_tpu.models.gpt2 import init_cache
+
+    m = tiny_vclm()
+    rng = np.random.default_rng(9)
+    frames = jnp.asarray(rng.normal(size=(2, 2, 32, 32, 3)), jnp.float32)
+    text = jnp.ones((2, 6), jnp.int32)
+    params = m.init(jax.random.key(0), frames, text)
+    toks = m.apply(params, frames, method="encode_image")
+    L, eos = 16, 2
+    ids, ppl = m.apply(params, toks, rng=jax.random.key(7), bos_id=1,
+                       eos_id=eos, pad_id=0, max_text_length=L,
+                       temperature=1.5, method="generate")
+    ids = np.asarray(ids)
+
+    # oracle: teacher-force the generated chain through decode_step,
+    # accumulate entropy while the row hasn't yet sampled EOS
+    cross_kv = m.apply(params, toks, method="prepare_decode")
+    cache = init_cache(m.text_decoder.cfg, 2, L)
+    nlls = np.zeros(2)
+    counts = np.zeros(2)
+    reached = np.zeros(2, bool)
+    for i in range(L - 1):
+        cur = jnp.asarray(ids[:, i:i + 1], jnp.int32)
+        if reached.all():
+            break
+        logits, cache = m.apply(params, cur, cross_kv, cache, i,
+                                method="decode_step")
+        ent = np.asarray(S.entropy(logits.astype(jnp.float32)))
+        nlls += ent * (~reached)
+        counts += (~reached)
+        # generate marks EOS from the SAMPLED token (ids[:, i+1]); rows
+        # past the global exit hold pad, which never extends counts
+        # because reached is already True for every row by then
+        reached |= ids[:, i + 1] == eos
+    expect = np.exp(nlls / np.maximum(counts, 1.0))
+    np.testing.assert_allclose(np.asarray(ppl), expect, rtol=1e-5)
+
+
 def test_vclm_teacher_forcing_ppl():
     m = tiny_vclm()
     frames = jnp.ones((1, 2, 32, 32, 3))
