@@ -37,6 +37,11 @@ BENCH_MODELS = {
     # remat — the recipe is documented in PARITY.md
     "tsf_l": dict(name="CLIP_OPENAI_TIMESFORMER_LARGE", img=224, patch=14,
                   depth=24, dim=1024, text_dim=768, batch=8, remat=True),
+    # the 336px HR pretrain shape (reference docs/PRETRAIN.md:24-35):
+    # N=576 patches/frame exercises the key-tiled flash spatial route
+    "tsf_l_336": dict(name="CLIP_OPENAI_TIMESFORMER_LARGE_336PX", img=336,
+                      patch=14, depth=24, dim=1024, text_dim=768, batch=4,
+                      remat=True),
 }
 
 

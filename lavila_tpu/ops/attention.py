@@ -218,6 +218,52 @@ def _cls_row_vjp_bwd(res, g):
 _cls_row_attention.defvjp(_cls_row_vjp_fwd, _cls_row_vjp_bwd)
 
 
+def _spatial_flash(qp: jax.Array, kp: jax.Array, vp: jax.Array,
+                   cls_k: jax.Array, cls_v: jax.Array,
+                   scale: float) -> jax.Array:
+    """Spatial divided attention for LARGE frames (N > 256 tokens, i.e.
+    the 336px towers' 576-token frames) via the key-tiled flash kernel.
+
+    The whole-frame kernel in ops/pallas/divided.py holds every head's
+    (N, N) fp32 score block on the Mosaic stack at once — ~40 MB at
+    N=576, over v5e's 16 MB scoped VMEM. Here each (frame, head-fold)
+    tile streams k/v blocks with an online softmax instead
+    (ops/pallas/flash_attention.py:fused_attention, custom VJP), so
+    VMEM use is O(block_q · block_k) regardless of N. The grouped
+    head-major relayout this needs costs one (B, F, N, D) transpose
+    each way — far cheaper than the fp32 (B, H, F, N, N+1) score
+    tensor the grouped XLA formulation would spill to HBM (~0.7 GB at
+    TSF-L@336 batch 8). 336px is a PRETRAIN shape in the reference
+    (docs/PRETRAIN.md:24-35), so the backward matters as much as the
+    forward.
+
+    qp/kp/vp: (B, F, N, H, d) patch tokens (unscaled); cls_k/cls_v:
+    (B, 1, H, d) folded in as key 0 of every frame. Returns patch
+    outputs (B, F, N, H, d); the CLS query row stays with the caller.
+    """
+    from lavila_tpu.ops.pallas.flash_attention import fused_attention
+
+    B, F, N, H, d = qp.shape
+    ck = jnp.broadcast_to(cls_k[:, None], (B, F, 1, H, d))
+    cv = jnp.broadcast_to(cls_v[:, None], (B, F, 1, H, d))
+    kg = jnp.concatenate([ck, kp], axis=2)               # (B, F, N+1, H, d)
+    vg = jnp.concatenate([cv, vp], axis=2)
+
+    def to_heads(t):  # (B, F, L, H, d) → (B·F, H, L, d)
+        L = t.shape[2]
+        return t.transpose(0, 1, 3, 2, 4).reshape(B * F, H, L, d)
+
+    # block_q 192 divides N=576 exactly (no padded q rows); two key
+    # tiles cover the 577 keys. ~4 MB of fp32 score/prob temps per
+    # program at the default head-fold of 8.
+    block_q = 192 if N % 192 == 0 else 256
+    block_k = -(-((N + 2) // 2) // 8) * 8
+    out = fused_attention(to_heads(qp), to_heads(kg), to_heads(vg),
+                          False, scale, block_q, block_k, 8,
+                          jax.default_backend() != "tpu")
+    return out.reshape(B, F, H, N, d).transpose(0, 1, 3, 2, 4)
+
+
 def divided_attention_split(cls_q: jax.Array, cls_k: jax.Array,
                             cls_v: jax.Array, qp: jax.Array, kp: jax.Array,
                             vp: jax.Array, axis: str) -> tuple:
@@ -257,12 +303,14 @@ def divided_attention_split(cls_q: jax.Array, cls_k: jax.Array,
     # The fused spatial kernel holds one whole frame (N tokens) per VMEM
     # block and its unrolled per-head (N, N) fp32 score/prob temps live
     # on the Mosaic stack together: fine up to N = 256 (TSF-L/224,
-    # measured), but N = 576 (336px towers) needs ~40 MB of scoped VMEM
-    # and fails to compile. Large-N spatial routes to the grouped XLA
-    # formulation (flash-style tiling of a 576-key softmax isn't worth a
-    # kernel: the 336px models are eval/decode surfaces, reference
-    # docs/MODEL_ZOO.md:21).
+    # measured), but N = 576 (336px towers — a PRETRAIN shape, reference
+    # docs/PRETRAIN.md:24-35) needs ~40 MB of scoped VMEM and fails to
+    # compile. Large-N spatial routes to the key-tiled flash kernel
+    # instead (online softmax, O(block) VMEM — _spatial_flash above).
     _space_fits_vmem = N <= 256
+    if (get_attention_backend() == "pallas" and axis == "space"
+            and not _space_fits_vmem):
+        return cls_out, _spatial_flash(qp, kp, vp, cls_k, cls_v, scale)
     if get_attention_backend() == "pallas" and (
             axis == "time" or _space_fits_vmem):
         # fused divided-phase kernels for BOTH phases (scores, softmax,

@@ -158,12 +158,11 @@ def test_cls_row_attention_bf16_tolerance():
             err_msg=name)
 
 
-def test_pallas_backend_large_n_spatial_falls_back_to_grouped():
-    """336px towers have N=576 patches/frame — beyond the spatial
-    kernel's VMEM envelope (N<=256). Under the pallas backend the
-    spatial phase must route to the grouped XLA formulation (this runs
-    on CPU precisely BECAUSE no Pallas kernel is emitted)."""
-    import jax
+def test_pallas_backend_large_n_spatial_routes_to_flash():
+    """336px towers have N=576 patches/frame — beyond the whole-frame
+    spatial kernel's VMEM envelope (N<=256). Under the pallas backend
+    large-N spatial runs the key-tiled flash kernel (_spatial_flash;
+    interpret mode on CPU) and must match the grouped oracle."""
     from lavila_tpu.ops import attention as A
 
     rng = np.random.default_rng(13)
@@ -184,3 +183,38 @@ def test_pallas_backend_large_n_spatial_falls_back_to_grouped():
         A.set_attention_backend(old)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_spatial_flash_n576_value_and_grads_match_grouped():
+    """The real 336px geometry (N=576 → 577 keys with CLS): forward AND
+    input gradients through the flash route must match the grouped XLA
+    formulation — 336px is a pretrain config in the reference
+    (docs/PRETRAIN.md:24-35), so the backward is load-bearing."""
+    import jax
+    from lavila_tpu.ops import attention as A
+
+    rng = np.random.default_rng(29)
+    B, F, N, H, dh = 1, 2, 576, 4, 16
+    shape = (B, 1 + F * N, H, dh)
+    q, k, v = (jnp.asarray(rng.normal(size=shape), jnp.float32)
+               for _ in range(3))
+    cot = jnp.asarray(rng.normal(size=shape), jnp.float32)
+
+    def run(backend):
+        old = A.get_attention_backend()
+        A.set_attention_backend(backend)
+        try:
+            def f(q, k, v):
+                out = A.divided_attention(q, k, v, F, "space")
+                return jnp.sum(out * cot)
+            val, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            A.set_attention_backend(old)
+        return val, grads
+
+    want_val, want_g = run("grouped")
+    got_val, got_g = run("pallas")
+    np.testing.assert_allclose(float(got_val), float(want_val), rtol=1e-4)
+    for a, b, name in zip(got_g, want_g, ["dq", "dk", "dv"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-3, err_msg=name)
