@@ -286,3 +286,42 @@ def test_mulreduce_decode_matches_segmented():
         b = _mulreduce_decode_attention(q, kc, vc, kn, vn, idx, H, d)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=2e-5, err_msg=str(idx))
+
+
+def test_cross_attention_keeps_dot_form_at_lane_filling_batch():
+    """Cross-attention (k_new=None) must stay on the segmented MXU dots
+    at every batch, including B >= 128 where SELF-attention reroutes:
+    measured worse under the mul-reduce at both b16 and b128 (the cross
+    k/v slabs are read-only loop invariants, so the batch-minor layout
+    tax that breaks the self-attention dots never applies — docs/PERF.md
+    'Lane-filling batches'). Guard the routing, not just the math."""
+    import lavila_tpu.models.gpt2 as G
+    rng = np.random.default_rng(7)
+    B, K, H, d = 128, 6, 4, 16
+    D = H * d
+    q = jnp.asarray(rng.normal(size=(B, 1, D)), jnp.float32)
+    kc = jnp.asarray(rng.normal(size=(B, K, D)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(B, K, D)), jnp.float32)
+
+    def must_not_be_called(*a, **k):  # pragma: no cover - fails the test
+        raise AssertionError("cross-attention routed off the dot form")
+
+    orig_mul = G._mulreduce_decode_attention
+    G._mulreduce_decode_attention = must_not_be_called
+    try:
+        out = G._segmented_decode_attention(
+            q, kc, vc, None, None, K, H, d, num_valid=K)
+    finally:
+        G._mulreduce_decode_attention = orig_mul
+    assert out.shape == (B, 1, D)
+    # and the same call WITH a new-token term does reroute at B >= 128
+    kn = jnp.asarray(rng.normal(size=(B, 1, D)), jnp.float32)
+    vn = jnp.asarray(rng.normal(size=(B, 1, D)), jnp.float32)
+    routed = {}
+    G._mulreduce_decode_attention = (
+        lambda *a, **k: routed.setdefault("hit", True) and orig_mul(*a, **k))
+    try:
+        G._segmented_decode_attention(q, kc, vc, kn, vn, K, H, d)
+    finally:
+        G._mulreduce_decode_attention = orig_mul
+    assert routed.get("hit"), "self-attention at B>=128 should reroute"
