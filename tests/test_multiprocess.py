@@ -27,6 +27,10 @@ WRAPPER = textwrap.dedent("""
     os.environ.pop("JAX_PLATFORMS", None)
     import jax
     jax.config.update("jax_platforms", "cpu")
+    # share the suite's persistent compile cache (conftest.py) — each of
+    # the 4 child processes otherwise pays a full cold XLA:CPU compile
+    jax.config.update("jax_compilation_cache_dir", {cache!r})
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     sys.path.insert(0, {repo!r})
     from cli.launch_tpu_pod import main
     state = main(["--coordinator", "localhost:{port}",
@@ -71,9 +75,11 @@ def _launch_pair(script):
 
 
 def test_two_process_pretrain_and_requeue(tmp_path):
+    import jax  # parent's conftest already picked the host-keyed dir
+    cache = jax.config.jax_compilation_cache_dir
     port = _free_port()
     out_dir = str(tmp_path / "run")
-    script = WRAPPER.format(repo=REPO, port=port, out=out_dir)
+    script = WRAPPER.format(repo=REPO, port=port, out=out_dir, cache=cache)
 
     outs = _launch_pair(script)
     # both processes saw the global mesh
@@ -95,7 +101,8 @@ def test_two_process_pretrain_and_requeue(tmp_path):
     # process must take the restore path (collective orbax restore) and
     # skip already-done epochs.
     port2 = _free_port()
-    outs2 = _launch_pair(WRAPPER.format(repo=REPO, port=port2, out=out_dir))
+    outs2 = _launch_pair(WRAPPER.format(repo=REPO, port=port2, out=out_dir,
+                                        cache=cache))
     # print() is master-only after setup_for_distributed — check rank 0
     assert "resuming from" in outs2[0], outs2[0][-2000:]
     # every rank restored the same params (collective orbax restore)
