@@ -71,10 +71,13 @@ def main(args):
         from lavila_tpu.models import import_torch as imp
         if args.checkpoint.endswith((".pt", ".pth")):
             sd = imp.load_torch_state_dict(args.checkpoint)
-            vis_depth = 24 if "LARGE" in args.model else 12
-            gpt2_layers = model.text_decoder.cfg.n_layer
-            params = imp.import_vclm(sd, vis_depth, gpt2_layers,
-                                     num_frames=args.clip_length)
+            # depths counted from the checkpoint itself, never guessed
+            # from the model name (cli/eval_zeroshot.py does the same)
+            params = imp.import_vclm(
+                sd, vis_depth=imp.count_layers(sd, "visual.blocks."),
+                gpt2_layers=imp.count_layers(
+                    sd, "text_decoder.transformer.h."),
+                num_frames=args.clip_length)
         else:
             from lavila_tpu.utils.checkpoints import CheckpointManager
             mgr = CheckpointManager(osp.dirname(args.checkpoint) or ".")
