@@ -25,7 +25,7 @@ import numpy as np
 # Current single-chip TSF-B train throughput (the compute bench above),
 # used by --data to express pipeline headroom. Keep in sync with the
 # latest BENCH_r*.json.
-CHIP_CLIPS_PER_SEC = 173.75
+CHIP_CLIPS_PER_SEC = 173.91
 
 
 # dual-encoder bench geometries (vision tower + CLIP text tower)
@@ -197,16 +197,20 @@ def narrator_bench(batch_size: int = 16, max_len: int = 77,
                 v, t, rng=key, bos_id=50256, eos_id=50256,
                 max_text_length=max_len, temperature=0.7, top_p=0.95,
                 method="generate"))
-            ids, _ = gen_r(variables, tokens, jax.random.key(0))
-            arr = np.asarray(ids)[:, 1:]
-            hit = (arr == 50256).any(axis=1)
-            lens = np.where(hit, np.argmax(arr == 50256, axis=1) + 1,
-                            arr.shape[1])
+            sampled = [gen_r(variables, tokens, jax.random.key(0))[0]]
+            _ = int(np.asarray(sampled[0])[0, 0])
             t0 = time.perf_counter()
             for i in range(reps):
                 ids, _ = gen_r(variables, tokens, jax.random.key(100 + i))
+                sampled.append(ids)  # device array; host read deferred
             _ = int(np.asarray(ids)[0, 0])
             realistic = batch_size * reps / (time.perf_counter() - t0)
+            # length stats over every decoded batch (warmup + timed): a
+            # single 16-row batch's mean is too noisy to report
+            arr = np.concatenate([np.asarray(s) for s in sampled])[:, 1:]
+            hit = (arr == 50256).any(axis=1)
+            lens = np.where(hit, np.argmax(arr == 50256, axis=1) + 1,
+                            arr.shape[1])
         finally:
             S.warp_logits = orig_warp
         print(json.dumps({
@@ -217,8 +221,9 @@ def narrator_bench(batch_size: int = 16, max_len: int = 77,
             "unit": f"narrations/sec (EOS-early-exit, mean ~12 tok, {label})",
             "vs_baseline": round(realistic / max(cached, 1e-9), 2),
             "note": "vs_baseline = early-exit speedup over the fixed-77 "
-                    f"decode ({cached:.1f}/s) in the same process; sample "
-                    f"batch-mean length {float(lens.mean()):.1f} tok",
+                    f"decode ({cached:.1f}/s) in the same process; mean "
+                    f"length {float(lens.mean()):.1f} tok over {len(lens)} "
+                    "narrations",
         }))
         return
 
