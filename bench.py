@@ -361,9 +361,66 @@ def _extract_json_line(text: str):
     return None
 
 
+_INIT_SENTINEL = "[bench] backend ready:"
+
+
+def _announce_backend() -> None:
+    """Inner-child handshake: printed to stderr once jax.devices()
+    succeeds, so the retry parent can tell init-phase hangs (safe to
+    kill and retry — no server-side work exists yet) from post-init
+    work (killing a TPU client mid-remote-compile orphans server-side
+    work and congests the tunnel for every later attempt)."""
+    import sys
+
+    devs = jax.devices()
+    print(f"{_INIT_SENTINEL} {devs[0].platform} x{len(devs)}",
+          file=sys.stderr, flush=True)
+
+
+def _run_attempt(cmd, init_timeout_s: float, run_timeout_s: float,
+                 poll_s: float = 2.0):
+    """One child run. Returns (phase, rc, stdout, stderr) where phase is
+    'done' (child exited; rc is its code), 'init-timeout' (killed before
+    the backend-init sentinel appeared), or 'run-timeout' (killed after
+    init — i.e. mid-compile or mid-dispatch)."""
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        out_p, err_p = os.path.join(td, "out"), os.path.join(td, "err")
+        phase = "done"
+        with open(out_p, "w") as out_f, open(err_p, "w") as err_f:
+            proc = subprocess.Popen(cmd, stdout=out_f, stderr=err_f,
+                                    text=True)
+            start = time.monotonic()
+            inited = False
+            while proc.poll() is None:
+                if not inited:
+                    # separate read handle: the write fd's offset is
+                    # shared with the child
+                    with open(err_p) as f:
+                        inited = _INIT_SENTINEL in f.read()
+                elapsed = time.monotonic() - start
+                limit = run_timeout_s if inited else min(init_timeout_s,
+                                                         run_timeout_s)
+                if elapsed > limit:
+                    phase = "run-timeout" if inited else "init-timeout"
+                    proc.kill()
+                    proc.wait()
+                    break
+                time.sleep(poll_s)
+        rc = proc.returncode if phase == "done" else None
+        with open(out_p) as f:
+            out = f.read()
+        with open(err_p) as f:
+            err = f.read()
+        return phase, rc, out, err
+
+
 def run_with_retry(args, raw_argv, attempts: int = 3,
                    backoff_s: float = 180.0,
-                   attempt_timeout_s: float = 2400.0) -> int:
+                   init_timeout_s: float = 600.0,
+                   run_timeout_s: float = 3300.0) -> int:
     """Run the bench in a child process, retrying on transient failures.
 
     Round 3 shipped no driver-visible number because one `Unable to
@@ -372,31 +429,45 @@ def run_with_retry(args, raw_argv, attempts: int = 3,
     within a process, so each attempt must be a fresh process. The
     parent prints EXACTLY ONE JSON line: the child's record on success,
     or an {"error": ...} record after the last attempt. Child stderr is
-    relayed to our stderr (stdout stays single-line)."""
-    import subprocess
+    relayed to our stderr (stdout stays single-line).
+
+    Timeout policy follows the tunnel's two failure modes. An attempt
+    that never reports backend init within ``init_timeout_s`` is killed
+    and retried: a pre-init client has no server-side work, so killing
+    it is safe (the standard tunnel probe does exactly this). An
+    attempt killed only after ``run_timeout_s`` — i.e. post-init, mid
+    remote compile or dispatch — is NOT retried: the kill orphans
+    server-side work that congests the tunnel, so further attempts
+    would hang into our own congestion and make the outage worse."""
     import sys
 
     last_err = "unknown failure"
     for i in range(attempts):
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--_inner",
-                 *raw_argv],
-                capture_output=True, text=True, timeout=attempt_timeout_s)
-            if proc.stderr:
-                sys.stderr.write(proc.stderr)
-            line = _extract_json_line(proc.stdout)
-            if proc.returncode == 0 and line:
-                print(line)
-                return 0
-            tail = (proc.stderr or proc.stdout or "").strip().splitlines()
-            last_err = (f"rc={proc.returncode}: "
-                        + " | ".join(tail[-3:]))[:500] or \
-                f"rc={proc.returncode} with empty output"
-        except subprocess.TimeoutExpired:
-            last_err = f"attempt timed out after {attempt_timeout_s:.0f}s"
+        phase, rc, out, err = _run_attempt(
+            [sys.executable, os.path.abspath(__file__), "--_inner",
+             *raw_argv], init_timeout_s, run_timeout_s)
+        if err:
+            sys.stderr.write(err)
+        line = _extract_json_line(out)
+        if phase == "done" and rc == 0 and line:
+            print(line)
+            return 0
+        fatal = phase == "run-timeout"
+        if phase == "done":
+            tail = " | ".join((err or out).strip().splitlines()[-3:])
+            last_err = (f"rc={rc}: {tail}"[:500] if tail
+                        else f"rc={rc} with empty output")
+        elif phase == "init-timeout":
+            last_err = (f"backend init not ready after {init_timeout_s:.0f}s"
+                        " (killed pre-compile)")
+        else:
+            last_err = (f"killed after {run_timeout_s:.0f}s post-init; not"
+                        " retrying (orphaned server-side work congests the"
+                        " tunnel)")
         print(f"bench attempt {i + 1}/{attempts} failed: {last_err}",
               file=sys.stderr)
+        if fatal:
+            break
         if i + 1 < attempts:
             time.sleep(backoff_s)
     print(json.dumps({
@@ -404,7 +475,7 @@ def run_with_retry(args, raw_argv, attempts: int = 3,
         "value": 0.0,
         "unit": "error",
         "vs_baseline": 0.0,
-        "error": f"all {attempts} attempts failed; last: {last_err}",
+        "error": f"bench failed; last: {last_err}",
     }))
     return 1
 
@@ -444,6 +515,7 @@ if __name__ == "__main__":
         import sys
         raw = [a for a in sys.argv[1:] if a != "--_inner"]
         sys.exit(run_with_retry(args, raw))
+    _announce_backend()
     if args.narrator:
         narrator_bench(batch_size=args.batch_size or 16,
                        decoder=args.decoder,

@@ -20,29 +20,20 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # The suite's wall time is dominated by XLA:CPU compiles (a cold run is
-# ~22 min, <2 min of it actual math). Persist them. The cache dir is
-# keyed by the host's CPU feature flags: XLA:CPU AOT results bake in ISA
-# features (avx512/amx/...), and loading an entry compiled on a
-# different machine can SIGILL — a plain shared dir would poison runs
-# on the next host generation.
-import hashlib  # noqa: E402
+# ~22 min, <2 min of it actual math). Persist them in the host-keyed
+# CPU cache dir (see lavila_tpu/utils/compile_cache.py for why a plain
+# shared dir would SIGILL on the next host generation).
+import sys  # noqa: E402
 
-try:
-    with open("/proc/cpuinfo") as f:
-        _cpu = next((ln for ln in f if ln.startswith("flags")), "")
-except OSError:  # pragma: no cover - non-Linux fallback
-    _cpu = ""
-_tag = hashlib.md5((_cpu or os.uname().machine).encode()).hexdigest()[:10]
-_CPU_CACHE_DIR = os.path.join(
-    os.path.dirname(__file__), os.pardir, ".jax_cache", "cpu-" + _tag)
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+from lavila_tpu.utils import compile_cache  # noqa: E402
+
+_REPO_ROOT = os.path.join(os.path.dirname(__file__), os.pardir)
 
 
 def _use_suite_cache():
-    jax.config.update("jax_compilation_cache_dir", _CPU_CACHE_DIR)
-    # 0.0, not the usual 0.5+: the suite's compile time is hundreds of
-    # SMALL executables per test (tiny oracles, eager dispatches), none
-    # individually over ~0.2s — a floor would cache nothing.
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    compile_cache.use_cpu_cache(_REPO_ROOT, min_compile_secs=0.0)
 
 
 _use_suite_cache()

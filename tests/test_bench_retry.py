@@ -2,11 +2,16 @@
 EXACTLY ONE JSON line on stdout whether the bench succeeds or not
 (round-3 verdict: a single axon UNAVAILABLE at init must not erase a
 round's perf evidence, and the failure path must not print a traceback
-to stdout)."""
+to stdout).
+
+Timeout policy under test: init-phase hangs are killed and retried
+(pre-init clients have no server-side work), but a post-init kill —
+mid remote compile/dispatch — must NOT be retried, because the kill
+orphans server-side work that congests the tunnel for every later
+attempt (CLAUDE.md: 'NEVER kill a TPU client mid-compile')."""
 
 import json
 import os
-import subprocess
 import sys
 
 import pytest
@@ -40,16 +45,14 @@ class _Args:
 def test_retry_then_success(monkeypatch, capsys):
     calls = []
 
-    def fake_run(cmd, capture_output, text, timeout):
+    def fake_attempt(cmd, init_timeout_s, run_timeout_s):
         calls.append(cmd)
         if len(calls) < 2:
-            return subprocess.CompletedProcess(
-                cmd, 1, stdout="",
-                stderr="Unable to initialize backend 'axon': UNAVAILABLE")
-        return subprocess.CompletedProcess(
-            cmd, 0, stdout='{"metric": "x", "value": 3.0}\n', stderr="")
+            return ("done", 1, "",
+                    "Unable to initialize backend 'axon': UNAVAILABLE")
+        return ("done", 0, '{"metric": "x", "value": 3.0}\n', "")
 
-    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench, "_run_attempt", fake_attempt)
     rc = bench.run_with_retry(_Args(), ["--model", "tsf_b"], backoff_s=0.0)
     out = capsys.readouterr().out.strip().splitlines()
     assert rc == 0
@@ -60,12 +63,11 @@ def test_retry_then_success(monkeypatch, capsys):
 
 
 def test_persistent_failure_emits_one_error_line(monkeypatch, capsys):
-    def fake_run(cmd, capture_output, text, timeout):
-        return subprocess.CompletedProcess(
-            cmd, 1, stdout="Traceback (most recent call last):\n  boom\n",
-            stderr="RuntimeError: Unable to initialize backend 'axon'")
+    def fake_attempt(cmd, init_timeout_s, run_timeout_s):
+        return ("done", 1, "Traceback (most recent call last):\n  boom\n",
+                "RuntimeError: Unable to initialize backend 'axon'")
 
-    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench, "_run_attempt", fake_attempt)
     rc = bench.run_with_retry(_Args(), [], attempts=3, backoff_s=0.0)
     out = capsys.readouterr().out.strip().splitlines()
     assert rc == 1
@@ -76,16 +78,75 @@ def test_persistent_failure_emits_one_error_line(monkeypatch, capsys):
     assert "UNAVAILABLE" in rec["error"] or "axon" in rec["error"]
 
 
-def test_timeout_counts_as_attempt(monkeypatch, capsys):
-    def fake_run(cmd, capture_output, text, timeout):
-        raise subprocess.TimeoutExpired(cmd, timeout)
+def test_empty_output_failure_is_described(monkeypatch, capsys):
+    def fake_attempt(cmd, init_timeout_s, run_timeout_s):
+        return ("done", 1, "", "")
 
-    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench, "_run_attempt", fake_attempt)
+    rc = bench.run_with_retry(_Args(), [], attempts=1, backoff_s=0.0)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 1
+    assert "rc=1 with empty output" in json.loads(out[0])["error"]
+
+
+def test_init_timeout_retries(monkeypatch, capsys):
+    calls = []
+
+    def fake_attempt(cmd, init_timeout_s, run_timeout_s):
+        calls.append(cmd)
+        return ("init-timeout", None, "", "")
+
+    monkeypatch.setattr(bench, "_run_attempt", fake_attempt)
     rc = bench.run_with_retry(_Args(), [], attempts=2, backoff_s=0.0)
     out = capsys.readouterr().out.strip().splitlines()
     assert rc == 1
+    assert len(calls) == 2  # init-phase kills are retried
     assert len(out) == 1
-    assert "timed out" in json.loads(out[0])["error"]
+    assert "init" in json.loads(out[0])["error"]
+
+
+def test_post_init_timeout_does_not_retry(monkeypatch, capsys):
+    calls = []
+
+    def fake_attempt(cmd, init_timeout_s, run_timeout_s):
+        calls.append(cmd)
+        return ("run-timeout", None, "", "[bench] backend ready: axon x1\n")
+
+    monkeypatch.setattr(bench, "_run_attempt", fake_attempt)
+    rc = bench.run_with_retry(_Args(), [], attempts=3, backoff_s=0.0)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 1
+    assert len(calls) == 1  # NEVER pile attempts onto a congested tunnel
+    assert len(out) == 1
+    assert "not retrying" in json.loads(out[0])["error"]
+
+
+def test_run_attempt_real_subprocess_phases(tmp_path):
+    """_run_attempt against real child processes (no TPU involved)."""
+    # done: child prints the sentinel then a record and exits 0
+    code = ("import sys;"
+            f"print({bench._INIT_SENTINEL!r} + ' cpu x1', file=sys.stderr);"
+            "print('{\"metric\": \"m\", \"value\": 1.0}')")
+    phase, rc, out, err = bench._run_attempt(
+        [sys.executable, "-c", code], init_timeout_s=30, run_timeout_s=30)
+    assert phase == "done" and rc == 0
+    assert bench._extract_json_line(out)
+    assert bench._INIT_SENTINEL in err
+
+    # init-timeout: child never prints the sentinel
+    phase, rc, _, _ = bench._run_attempt(
+        [sys.executable, "-c", "import time; time.sleep(60)"],
+        init_timeout_s=1, run_timeout_s=60, poll_s=0.2)
+    assert phase == "init-timeout" and rc is None
+
+    # run-timeout: sentinel printed, then the child hangs
+    code = ("import sys, time;"
+            f"print({bench._INIT_SENTINEL!r} + ' cpu x1', file=sys.stderr,"
+            "flush=True); time.sleep(60)")
+    phase, rc, _, err = bench._run_attempt(
+        [sys.executable, "-c", code],
+        init_timeout_s=30, run_timeout_s=2, poll_s=0.2)
+    assert phase == "run-timeout" and rc is None
 
 
 @pytest.mark.parametrize("argv,metric", [

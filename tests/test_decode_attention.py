@@ -43,7 +43,8 @@ def test_fused_odd_batch_falls_back_to_smaller_blocks():
 def test_odd_lane_filling_batch_routes_to_mulreduce():
     """A prime B >= 128 (131) degrades the kernel's divisor search to
     block_b=1, slower than the mul-reduce it replaced — the routing
-    guard requires effective_block_b >= 4 (ADVICE r3)."""
+    guard in models/gpt2.py requires effective_block_b >= 2 (ADVICE
+    r3)."""
     import jax
     from lavila_tpu.ops import attention as A
     from lavila_tpu.ops.pallas.decode_attention import effective_block_b
