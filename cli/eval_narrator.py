@@ -30,11 +30,20 @@ def get_args_parser():
     p = argparse.ArgumentParser("narrator evaluation")
     p.add_argument("--dataset", default="ego4d")
     p.add_argument("--root", default="")
-    p.add_argument("--metadata", default="")
-    p.add_argument("--checkpoint", default="")
+    p.add_argument("--metadata", "--metadata-val", dest="metadata",
+                   default="",
+                   help="val metadata pkl (reference --metadata-val)")
+    p.add_argument("--checkpoint", "--resume", dest="checkpoint",
+                   default="")
+    p.add_argument("--output-dir", default="",
+                   help="when no --checkpoint/--resume is given, load "
+                        "checkpoint_best from here (reference "
+                        "eval_narrator.py:93-94)")
     p.add_argument("--model",
                    default="VCLM_OPENAI_TIMESFORMER_MINI_GPT2_MINI")
     p.add_argument("--clip-length", type=int, default=4)
+    p.add_argument("--clip-stride", type=int, default=16,
+                   help="reference --clip-stride (eval_narrator.py:62)")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--eval-freq", type=int, default=100,
@@ -49,9 +58,37 @@ def get_args_parser():
                         "against the clip's references (reference "
                         "--caption-num-return-sequences, "
                         "eval_narrator.py:215-261)")
+    p.add_argument("--num-beams", type=int, default=3,
+                   help="reference --caption-num-beams (default 3)")
+    p.add_argument("--num-beam-groups", type=int, default=3,
+                   help="for --decoding group_beam; must divide "
+                        "--num-beams and be > 1 (reference "
+                        "--caption-num-beam-groups, eval_narrator.py:203)")
+    p.add_argument("--length-penalty", type=float, default=1.0,
+                   help="reference --caption-length-penalty")
+    p.add_argument("--max-text-length", type=int, default=77,
+                   help="reference --caption-max-len")
+    p.add_argument("--early-stop", action="store_true",
+                   help="accepted for reference parity "
+                        "(--caption-early-stop): decode always exits at "
+                        "batch-max EOS here, with identical outputs")
+    p.add_argument("--num-clips", type=int, default=1,
+                   help="accepted for reference parity; values > 1 are "
+                        "rejected — the reference's multi-view transform "
+                        "branch (eval_narrator.py:143-150) produces "
+                        "list-valued batches its own validate_caption "
+                        "cannot consume")
+    p.add_argument("--num-crops", type=int, default=1,
+                   help="see --num-clips")
+    p.add_argument("--sparse-sample", action="store_true",
+                   help="accepted for reference parity; dead there too "
+                        "(eval_narrator.py:161 hardcodes "
+                        "sparse_sample=False)")
+    p.add_argument("--print-freq", type=int, default=10)
     p.add_argument("--max-samples", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--output-json", default="")
+    p.add_argument("--output-json", "--caption-output-filename",
+                   dest="output_json", default="")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute + params (the reference's "
                         "--use-half, eval_narrator.py:86)")
@@ -59,6 +96,17 @@ def get_args_parser():
 
 
 def main(args):
+    if args.num_clips > 1 or args.num_crops > 1:
+        raise SystemExit(
+            "multi-view narrator eval is not supported (the reference's "
+            "num_clips/num_crops > 1 branch is itself non-functional — "
+            "see --num-clips help)")
+    # checkpoint precedence mirrors the reference (eval_narrator.py:91-94):
+    # explicit path wins, else checkpoint_best under --output-dir
+    if not args.checkpoint and args.output_dir:
+        best = osp.join(args.output_dir, "checkpoint_best")
+        if osp.exists(best):
+            args.checkpoint = best
     model = build_model(args.model, num_frames=args.clip_length,
                         gated_xattn=True,
                         **({"dtype": jnp.bfloat16} if args.bf16 else {}))
@@ -73,6 +121,7 @@ def main(args):
     dcfg = DatasetConfig(dataset=args.dataset, root=args.root,
                          metadata=args.metadata,
                          clip_length=args.clip_length,
+                         clip_stride=args.clip_stride,
                          subsample_stride=args.eval_freq,
                          narration_selection="random")
     ds = VideoCaptionDataset(dcfg, transform, tokenizer, is_training=False,
@@ -119,14 +168,23 @@ def main(args):
         method="generate"))
     free = jax.jit(lambda v, toks, key: model.apply(
         v, toks, rng=key, bos_id=bos, eos_id=eos, pad_id=pad,
-        max_text_length=77, temperature=args.temperature,
+        max_text_length=args.max_text_length, temperature=args.temperature,
         top_k=args.top_k or None, top_p=args.top_p, method="generate"))
-    dec = BeamDecoder(model, variables, bos_id=bos, eos_id=eos, pad_id=pad)
+    if args.decoding == "group_beam" and not (
+            args.num_beam_groups > 1
+            and args.num_beams % args.num_beam_groups == 0):
+        raise SystemExit(
+            "--decoding group_beam needs --num-beam-groups > 1 dividing "
+            "--num-beams (reference eval_narrator.py:203)")
+    dec = BeamDecoder(model, variables, bos_id=bos, eos_id=eos, pad_id=pad,
+                      max_text_length=args.max_text_length)
 
     key = jax.random.key(args.seed)
     ppls, hyps, refs = [], [], []
     sample_idx = 0
-    for batch in loader:
+    for bi, batch in enumerate(loader):
+        if bi % args.print_freq == 0:
+            print(f"[{bi}/{len(loader)}]", flush=True)
         toks = encode_image(variables, jnp.asarray(batch["frames"]))
         tgt = jnp.asarray(batch["text"])
         key, k1, k2 = jax.random.split(key, 3)
@@ -140,19 +198,23 @@ def main(args):
             ids, _ = free(variables, toks_s, k2)
             ids = np.asarray(ids)
         elif args.decoding == "beam":
-            ids, _ = dec.beam_search(toks, num_beams=5,
-                                     num_return_sequences=nrs)
+            ids, _ = dec.beam_search(toks, num_beams=args.num_beams,
+                                     num_return_sequences=nrs,
+                                     length_penalty=args.length_penalty)
         elif args.decoding == "beam_sample":
             ids, _ = dec.beam_sample(toks,
                                      rng=np.random.default_rng(args.seed),
-                                     num_beams=5,
+                                     num_beams=args.num_beams,
                                      temperature=args.temperature,
                                      top_p=args.top_p,
-                                     num_return_sequences=nrs)
+                                     num_return_sequences=nrs,
+                                     length_penalty=args.length_penalty)
         else:
-            ids, _ = dec.group_beam_search(toks, num_beams=6,
-                                           num_beam_groups=3,
-                                           num_return_sequences=nrs)
+            ids, _ = dec.group_beam_search(
+                toks, num_beams=args.num_beams,
+                num_beam_groups=args.num_beam_groups,
+                num_return_sequences=nrs,
+                length_penalty=args.length_penalty)
         for row in ids:
             row = list(row[1:])
             if eos in row:

@@ -39,6 +39,13 @@ def get_args_parser():
     p.add_argument("--metadata-val", default="")
     p.add_argument("--relevancy-path", default="")
     p.add_argument("--checkpoint", required=False, default="")
+    p.add_argument("--resume", default="",
+                   help="alias for --checkpoint (reference "
+                        "eval_zeroshot.py:55)")
+    p.add_argument("--output-dir", default="",
+                   help="when no --checkpoint/--resume is given, load "
+                        "checkpoint_best from here (reference "
+                        "eval_zeroshot.py:61-64)")
     p.add_argument("--model", default="CLIP_OPENAI_TIMESFORMER_MINI",
                    help="used when no checkpoint config is available")
     p.add_argument("--clip-length", type=int, default=4)
@@ -82,7 +89,17 @@ class _Namespace:
 
 def load_model_from_checkpoint(args):
     """Rebuild the model from the checkpoint's embedded config; fall back
-    to --model with fresh init (useful for smoke-testing)."""
+    to --model with fresh init (useful for smoke-testing).
+
+    Checkpoint precedence mirrors the reference (eval_zeroshot.py:61-64):
+    explicit path (--checkpoint / --resume) wins, else checkpoint_best
+    under --output-dir when one exists."""
+    if not args.checkpoint and getattr(args, "resume", ""):
+        args.checkpoint = args.resume
+    if not args.checkpoint and getattr(args, "output_dir", ""):
+        best = osp.join(args.output_dir, "checkpoint_best")
+        if osp.exists(best):
+            args.checkpoint = best
     config = {}
     if args.checkpoint:
         meta_path = args.checkpoint + ".json"
@@ -202,7 +219,8 @@ def embed_dataset(model, variables, loader, has_mask=False):
 def eval_ek100_mir(model, variables, tokenizer, model_name, *, root,
                    metadata, clip_length, clip_stride, batch_size,
                    workers, num_clips=1, num_crops=1,
-                   narration_selection="random", narration_pool="max"):
+                   narration_selection="random", narration_pool="max",
+                   relevancy_path=None):
     """EK-100 MIR retrieval eval. Explicit keyword signature so in-train
     probes cannot silently drift from the CLI (no duck-typed namespaces).
     ``num_clips``/``num_crops`` enable the multi-view protocol; per-view
@@ -245,7 +263,7 @@ def eval_ek100_mir(model, variables, tokenizer, model_name, *, root,
         sim = sim.max(axis=2) if narration_pool == "max" else \
             sim.mean(axis=2)
     sim = (sim + 1) / 2  # rescale (reference eval_zeroshot.py:174)
-    mir = load_ek100_mir_relevancy(metadata)
+    mir = load_ek100_mir_relevancy(metadata, relevancy_path)
     video_ids = load_ek100_video_ids(metadata)
     # reference eval_zeroshot.py:176-179: one column per unique sentence,
     # taken from the video row whose narration id matches
@@ -414,7 +432,8 @@ def main(args):
             workers=args.workers, num_clips=args.num_clips,
             num_crops=args.num_crops,
             narration_selection=args.narration_selection,
-            narration_pool=args.narration_pool)
+            narration_pool=args.narration_pool,
+            relevancy_path=args.relevancy_path or None)
     elif args.dataset == "ego4d_mcq":
         out = eval_mcq(args, model, variables, tokenizer, model_name)
     elif args.dataset in ("ek100_cls", "egtea", "charades_ego"):

@@ -58,16 +58,46 @@ def get_args_parser():
     p.add_argument("--num-clips", type=int, default=1)
     p.add_argument("--num-crops", type=int, default=1)
     p.add_argument("--sparse-sample", action="store_true")
-    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--dropout", "--dropout-ratio", dest="dropout",
+                   type=float, default=0.5,
+                   help="head dropout (reference --dropout-ratio, "
+                        "main_finetune_classification.py:71)")
+    p.add_argument("--drop-path-rate", type=float, default=0.1,
+                   help="stochastic depth for fine-tuning (reference "
+                        ":70,154 — the finetune value, not the pretrain "
+                        "config's)")
+    p.add_argument("--use-checkpoint", action="store_true",
+                   help="activation remat on the backbone")
     p.add_argument("--label-smoothing", type=float, default=0.1)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--warmup-epochs", type=int, default=2)
+    p.add_argument("--start-epoch", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--lr", type=float, default=3e-3)
     p.add_argument("--lr-end", type=float, default=1e-5)
+    p.add_argument("--lr-start", type=float, default=1e-6,
+                   help="warmup start lr (reference :354-356)")
+    p.add_argument("--fix-lr", action="store_true",
+                   help="constant lr, no schedule (reference :350-352)")
     p.add_argument("--lr-multiplier-on-backbone", type=float, default=0.1)
     p.add_argument("--wd", type=float, default=1e-4)
+    p.add_argument("--betas", nargs=2, type=float, default=(0.9, 0.999))
+    p.add_argument("--eps", type=float, default=1e-8)
+    p.add_argument("--update-freq", type=int, default=1,
+                   help="gradient accumulation steps")
+    p.add_argument("--clip-grad-type", default="norm",
+                   choices=["norm", "value"])
+    p.add_argument("--clip-grad-value", type=float, default=None)
     p.add_argument("--use-sgd", action="store_true")
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--freeze-temperature", action="store_true",
+                   help="accepted for reference parity; parsed but "
+                        "unused there too (no logit_scale in the "
+                        "classifier, main_finetune_classification.py:104)")
+    p.add_argument("--relevancy-path", default="",
+                   help="accepted for reference parity; parsed but "
+                        "unused there too (classification has no "
+                        "relevancy matrix)")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--print-freq", type=int, default=10)
@@ -164,6 +194,10 @@ def main(args):
         with open(args.pretrain_model + ".json") as f:
             config.update(json.load(f).get("config", {}))
         config["clip_length"] = args.clip_length
+    # the finetune recipe's values win over the pretrain config's
+    # (reference rebuilds with args.drop_path_rate, :154)
+    config["drop_path_rate"] = args.drop_path_rate
+    config["use_checkpoint"] = args.use_checkpoint
     model_name = config["model"]
 
     # label space
@@ -240,21 +274,41 @@ def main(args):
         print(f"=> loaded visual tower from {args.pretrain_model}")
 
     # backbone vs head LR groups (reference --lr-multiplier-on-backbone)
-    sched_head = cosine_schedule(args.lr, args.lr_end, args.epochs, iters,
-                                 args.warmup_epochs)
-    sched_bb = cosine_schedule(args.lr * args.lr_multiplier_on_backbone,
-                               args.lr_end, args.epochs, iters,
-                               args.warmup_epochs)
+    optim_iters = max(iters // args.update_freq, 1)
+    if args.fix_lr:
+        sched_head = args.lr
+        sched_bb = args.lr * args.lr_multiplier_on_backbone
+    else:
+        sched_head = cosine_schedule(args.lr, args.lr_end, args.epochs,
+                                     optim_iters, args.warmup_epochs,
+                                     args.lr_start)
+        sched_bb = cosine_schedule(args.lr * args.lr_multiplier_on_backbone,
+                                   args.lr_end, args.epochs, optim_iters,
+                                   args.warmup_epochs, args.lr_start)
+    opt_kw = dict(weight_decay=args.wd, betas=tuple(args.betas),
+                  eps=args.eps, clip_grad_value=args.clip_grad_value,
+                  clip_grad_type=args.clip_grad_type,
+                  use_sgd=args.use_sgd)
     tx = optax.multi_transform(
-        {"head": make_optimizer(sched_head, weight_decay=args.wd,
-                                use_sgd=args.use_sgd),
-         "backbone": make_optimizer(sched_bb, weight_decay=args.wd,
-                                    use_sgd=args.use_sgd)},
+        {"head": make_optimizer(sched_head, **opt_kw),
+         "backbone": make_optimizer(sched_bb, **opt_kw)},
         lr_multiplier_labels)
+    if args.update_freq > 1:
+        # accumulate OUTSIDE multi_transform so both groups step on the
+        # same optimizer-iteration boundary
+        tx = optax.MultiSteps(tx, every_k_schedule=args.update_freq)
     state = TrainState.create(params, tx)
 
     mgr = CheckpointManager(args.output_dir)
-    start_epoch = 0
+    wandb_run = None
+    if args.wandb and jax.process_index() == 0:
+        try:
+            import wandb as _wandb
+            wandb_run = _wandb.init(project="lavila_tpu",
+                                    config=vars(args))
+        except Exception as e:  # offline image: keep training
+            print(f"(wandb unavailable: {e})")
+    start_epoch = args.start_epoch
     best_metric = float("-inf")
     # auto-resume over --resume, best metric restored (reference
     # main_finetune_classification.py:252-287 best_acc1 contract)
@@ -311,6 +365,8 @@ def main(args):
                 print(f"Epoch [{epoch}][{it}/{len(loader)}] "
                       f"loss {loss_m.avg:.4f} acc1 {acc_m.avg:.2f} "
                       f"t {timer.lap():.2f}s", flush=True)
+                if wandb_run is not None:
+                    wandb_run.log({"loss": loss_m.val, "acc1": acc_m.val})
             total += 1
             if args.steps and total >= args.steps:
                 break
@@ -342,6 +398,8 @@ def main(args):
         if jax.process_index() == 0 and val_metrics:
             with open(osp.join(mgr.output_dir, "log.txt"), "a") as f:
                 f.write(json.dumps({**val_metrics, "epoch": epoch}) + "\n")
+            if wandb_run is not None:
+                wandb_run.log({**val_metrics, "epoch": epoch})
         if args.steps and total >= args.steps:
             break
     print("=> done")

@@ -30,6 +30,7 @@ from lavila_tpu.data.loader import DataLoader
 from lavila_tpu.data.tokenizers import generate_tokenizer
 from lavila_tpu.models import build_model
 from lavila_tpu.parallel import create_mesh, shard_batch, shard_params
+from lavila_tpu.train.freeze import freeze_by_predicate, logit_scale_only
 from lavila_tpu.train.optim import cosine_schedule, make_optimizer
 from lavila_tpu.train.step import TrainState, make_retrieval_train_step
 from lavila_tpu.utils.checkpoints import CheckpointManager, resolve_resume
@@ -70,7 +71,31 @@ def get_args_parser():
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--lr-end", type=float, default=1e-6)
     p.add_argument("--lr-start", type=float, default=1e-6)
+    p.add_argument("--fix-lr", action="store_true",
+                   help="constant lr, no schedule (reference "
+                        "main_finetune_retrieval.py:323-325)")
     p.add_argument("--wd", type=float, default=0.01)
+    p.add_argument("--betas", nargs=2, type=float, default=(0.9, 0.999))
+    p.add_argument("--eps", type=float, default=1e-8)
+    p.add_argument("--update-freq", type=int, default=1,
+                   help="gradient accumulation steps (reference :83)")
+    p.add_argument("--clip-grad-type", default="norm",
+                   choices=["norm", "value"])
+    p.add_argument("--clip-grad-value", type=float, default=None)
+    p.add_argument("--drop-path-rate", type=float, default=0.1,
+                   help="stochastic depth for fine-tuning (reference "
+                        "main_finetune_retrieval.py:66,140 — the "
+                        "finetune value, not the pretrain config's)")
+    p.add_argument("--freeze-temperature", action="store_true",
+                   help="accepted for reference parity; logit_scale is "
+                        "ALWAYS frozen here, matching the reference's "
+                        "unconditional main_finetune_retrieval.py:142")
+    p.add_argument("--relevancy-path", default="",
+                   help="explicit EK-100 relevancy pkl for validation "
+                        "(reference :54, :554); default derives it from "
+                        "the metadata dir")
+    p.add_argument("--start-epoch", type=int, default=0)
+    p.add_argument("--wandb", action="store_true")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--print-freq", type=int, default=10)
@@ -114,6 +139,10 @@ def main(args):
         with open(args.pretrain_model + ".json") as f:
             config.update(json.load(f).get("config", {}))
         config["clip_length"] = args.clip_length  # PE inflation handles it
+    # the finetune recipe's values win over the pretrain config's
+    # (reference rebuilds with args.drop_path_rate, :140)
+    config["drop_path_rate"] = args.drop_path_rate
+    config["use_checkpoint"] = args.use_checkpoint
 
     class NS:
         def __init__(self, d):
@@ -154,14 +183,31 @@ def main(args):
         params = tree["params"]
         print(f"=> loaded pretrain weights from {args.pretrain_model}")
 
-    tx = make_optimizer(cosine_schedule(args.lr, args.lr_end, args.epochs,
-                                        iters, args.warmup_epochs,
-                                        args.lr_start),
-                        weight_decay=args.wd)
+    optim_iters = max(iters // args.update_freq, 1)
+    schedule = (args.lr if args.fix_lr else
+                cosine_schedule(args.lr, args.lr_end, args.epochs,
+                                optim_iters, args.warmup_epochs,
+                                args.lr_start))
+    tx = make_optimizer(schedule, weight_decay=args.wd,
+                        betas=tuple(args.betas), eps=args.eps,
+                        clip_grad_value=args.clip_grad_value,
+                        clip_grad_type=args.clip_grad_type,
+                        update_freq=args.update_freq)
+    # logit_scale is frozen unconditionally, like the reference's
+    # model.logit_scale.requires_grad = False (:142)
+    tx = freeze_by_predicate(tx, logit_scale_only)
     state = TrainState.create(params, tx)
 
     mgr = CheckpointManager(args.output_dir)
-    start_epoch = 0
+    wandb_run = None
+    if args.wandb and jax.process_index() == 0:
+        try:
+            import wandb as _wandb
+            wandb_run = _wandb.init(project="lavila_tpu",
+                                    config=vars(args))
+        except Exception as e:  # offline image: keep training
+            print(f"(wandb unavailable: {e})")
+    start_epoch = args.start_epoch
     best_metric = float("-inf")
     # auto-resume: a checkpoint in output_dir wins over --resume
     # (reference main_finetune_retrieval.py:182-217 incl. best_acc1)
@@ -192,7 +238,8 @@ def main(args):
                 root=args.root, metadata=args.metadata_val,
                 clip_length=args.clip_length, clip_stride=args.clip_stride,
                 batch_size=args.batch_size, workers=args.workers,
-                num_clips=args.num_clips, num_crops=args.num_crops)
+                num_clips=args.num_clips, num_crops=args.num_crops,
+                relevancy_path=args.relevancy_path or None)
             return out, out["mAP_avg"]
         if args.dataset in ("charades_ego", "charades_ego_trimmed"):
             out = validate_charades(args, model, {"params": state.params},
@@ -229,6 +276,8 @@ def main(args):
                 print(f"Epoch [{epoch}][{it}/{len(loader)}] "
                       f"loss {loss_m.val:.4f} ({loss_m.avg:.4f}) "
                       f"t {timer.lap():.2f}s", flush=True)
+                if wandb_run is not None:
+                    wandb_run.log({"loss": loss_m.val})
             total += 1
             if args.steps and total >= args.steps:
                 break
@@ -254,6 +303,8 @@ def main(args):
         if jax.process_index() == 0 and val_metrics:
             with open(osp.join(mgr.output_dir, "log.txt"), "a") as f:
                 f.write(json.dumps({**val_metrics, "epoch": epoch}) + "\n")
+            if wandb_run is not None:
+                wandb_run.log({**val_metrics, "epoch": epoch})
         if args.steps and total >= args.steps:
             break
     print("=> done")

@@ -33,16 +33,43 @@ def get_args_parser():
     p.add_argument("--dataset", default="ego4d")
     p.add_argument("--root", default="datasets/Ego4D/video_288px")
     p.add_argument("--metadata", default="datasets/Ego4D/ego4d_train.pkl")
-    p.add_argument("--checkpoint", default="")
+    p.add_argument("--checkpoint", "--resume", dest="checkpoint",
+                   default="",
+                   help="narrator checkpoint (reference --resume, "
+                        "main_infer_narrator.py:84-85)")
     p.add_argument("--model",
                    default="VCLM_OPENAI_TIMESFORMER_MINI_GPT2_MINI")
     p.add_argument("--clip-length", type=int, default=4)
+    p.add_argument("--clip-stride", type=int, default=16,
+                   help="reference --clip-stride "
+                        "(main_infer_narrator.py:43)")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--decoding", default="sample",
+                   choices=["sample", "beam_sample", "group_beam"],
+                   help="reference --caption-sample "
+                        "(multinomial_sample / beam_sample / "
+                        "group_beam_search, main_infer_narrator.py:54, "
+                        ":177-215)")
     p.add_argument("--num-return-sequences", type=int, default=10)
+    p.add_argument("--num-beams", type=int, default=3,
+                   help="reference --caption-num-beams")
+    p.add_argument("--num-beam-groups", type=int, default=3,
+                   help="for --decoding group_beam (reference "
+                        "--caption-num-beam-groups); must be > 1 and "
+                        "divide --num-beams")
+    p.add_argument("--length-penalty", type=float, default=1.0,
+                   help="reference --caption-length-penalty")
     p.add_argument("--temperature", type=float, default=0.7)
     p.add_argument("--top-p", type=float, default=0.95)
     p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--max-text-length", type=int, default=77,
+                   help="reference --caption-max-len")
+    p.add_argument("--early-stop", action="store_true",
+                   help="accepted for reference parity "
+                        "(--caption-early-stop): decode always exits at "
+                        "batch-max EOS here, with identical outputs")
+    p.add_argument("--print-freq", type=int, default=10)
     p.add_argument("--max-samples", type=int, default=0)
     p.add_argument("--output-dir", default="/tmp/narrator_out")
     p.add_argument("--seed", type=int, default=0)
@@ -69,7 +96,8 @@ def main(args):
 
     dcfg = DatasetConfig(dataset=args.dataset, root=args.root,
                          metadata=args.metadata,
-                         clip_length=args.clip_length)
+                         clip_length=args.clip_length,
+                         clip_stride=args.clip_stride)
     ds = VideoCaptionDataset(dcfg, transform, tokenizer=None,
                              is_training=False)
     samples_meta = ds.samples
@@ -121,19 +149,52 @@ def main(args):
     def gen(v, toks, key):
         return model.apply(
             v, toks, rng=key, bos_id=bos, eos_id=eos, pad_id=pad,
-            max_text_length=77, temperature=args.temperature,
+            max_text_length=args.max_text_length,
+            temperature=args.temperature,
             top_k=args.top_k or None, top_p=args.top_p,
             num_return_sequences=args.num_return_sequences,
             method="generate")
 
     gen = jax.jit(gen)
+    dec = None
+    if args.decoding != "sample":
+        # beam pseudo-labeling (reference main_infer_narrator.py:189-215);
+        # the stored per-caption scores are the beam joint scores, like
+        # the reference's beam 'ppls'
+        from lavila_tpu.models.beam import BeamDecoder
+        if args.decoding == "group_beam" and not (
+                args.num_beam_groups > 1
+                and args.num_beams % args.num_beam_groups == 0):
+            raise SystemExit(
+                "--decoding group_beam needs --num-beam-groups > 1 "
+                "dividing --num-beams (reference "
+                "main_infer_narrator.py:203)")
+        dec = BeamDecoder(model, variables, bos_id=bos, eos_id=eos,
+                          pad_id=pad, max_text_length=args.max_text_length)
 
     key = jax.random.key(args.seed + rank)
+    beam_rng = np.random.default_rng(args.seed + rank)
     records = []
     for bi, batch in enumerate(loader):
         toks = encode_image(variables, jnp.asarray(batch["frames"]))
         key, sub = jax.random.split(key)
-        ids, ppls = gen(variables, toks, sub)
+        if args.decoding == "sample":
+            ids, ppls = gen(variables, toks, sub)
+        elif args.decoding == "beam_sample":
+            ids, ppls = dec.beam_sample(
+                toks, rng=beam_rng, num_beams=args.num_beams,
+                temperature=args.temperature, top_p=args.top_p,
+                top_k=args.top_k or None,
+                length_penalty=args.length_penalty,
+                num_return_sequences=args.num_return_sequences)
+        else:
+            ids, ppls = dec.group_beam_search(
+                toks, num_beams=args.num_beams,
+                num_beam_groups=args.num_beam_groups,
+                temperature=args.temperature, top_p=args.top_p,
+                top_k=args.top_k or None,
+                length_penalty=args.length_penalty,
+                num_return_sequences=args.num_return_sequences)
         ids = np.asarray(ids)
         ppls = np.asarray(ppls)
         n = batch["frames"].shape[0]
@@ -149,7 +210,7 @@ def main(args):
             pp = ppls[j * args.num_return_sequences:
                       (j + 1) * args.num_return_sequences].tolist()
             records.append((meta[0], meta[1], meta[2], caps, pp))
-        if bi % 10 == 0:
+        if bi % args.print_freq == 0:
             print(f"[rank {rank}] {bi}/{len(loader)}", flush=True)
 
     shard_path = osp.join(args.output_dir, f"cache.{rank}.pkl")

@@ -116,10 +116,11 @@ def main(cfg: PretrainConfig):
         timesformer_freeze_space=cfg.timesformer_freeze_space,
         freeze_visual_vclm=cfg.freeze_visual_vclm,
         freeze_visual_vclm_temporal=cfg.freeze_visual_vclm_temporal,
-        freeze_lm_vclm=cfg.freeze_lm_vclm)
+        freeze_lm_vclm=cfg.freeze_lm_vclm,
+        freeze_pseudo_temperature=cfg.freeze_pseudo_temperature)
     if any([cfg.freeze_temperature, cfg.timesformer_freeze_space,
             cfg.freeze_visual_vclm, cfg.freeze_visual_vclm_temporal,
-            cfg.freeze_lm_vclm]):
+            cfg.freeze_lm_vclm, cfg.freeze_pseudo_temperature]):
         tx = freeze_by_predicate(tx, frozen)
 
     # init params from a sample batch structure
@@ -133,8 +134,10 @@ def main(cfg: PretrainConfig):
     criterion_params = None
     use_ssl = cfg.metadata_aux is not None and not is_vclm
     if use_ssl:
+        # reference main_pretrain.py:195 passes --pseudo-temperature-init
+        # (CLI default 0.07) as SSLCLIPLoss's scale_init
         criterion_params = {"logit_scale_pseudo": jnp.asarray(
-            math.log(1 / 0.08), jnp.float32)}
+            math.log(1 / cfg.pseudo_temperature_init), jnp.float32)}
     state = TrainState.create(params, tx, criterion_params=criterion_params)
 
     mgr = CheckpointManager(cfg.output_dir)

@@ -42,6 +42,11 @@ class PretrainConfig:
     drop_path_rate: float = 0.0
     temperature_init: float = 0.07
     freeze_temperature: bool = False
+    # SSL pseudo-pair temperature (reference main_pretrain.py:106-109 —
+    # the CLI default is 0.07 even though SSLCLIPLoss's class default
+    # is 0.08; the flag value is what training actually uses)
+    pseudo_temperature_init: float = 0.07
+    freeze_pseudo_temperature: bool = False
     freeze_lm_vclm: bool = False
     freeze_visual_vclm: bool = False
     freeze_visual_vclm_temporal: bool = False

@@ -97,9 +97,13 @@ def load_ek100_video_ids(metadata: str) -> list:
         return [row[0] for row in reader]
 
 
-def load_ek100_mir_relevancy(metadata: str) -> Ek100MirRelevancy:
+def load_ek100_mir_relevancy(metadata: str,
+                             relevancy_path: str = None
+                             ) -> Ek100MirRelevancy:
     """Sentence csv + relevancy pkl that sit next to the EK100 csv
-    (reference datasets.py:136-144)."""
+    (reference datasets.py:136-144). ``relevancy_path`` overrides the
+    derived pkl location (reference --relevancy-path,
+    main_finetune_retrieval.py:54, used at :554)."""
     base = metadata[:metadata.index(".csv")]
     sentence_ids, sentences = [], []
     with open(base + "_sentence.csv") as f:
@@ -108,15 +112,17 @@ def load_ek100_mir_relevancy(metadata: str) -> Ek100MirRelevancy:
         for row in reader:
             sentence_ids.append(row[0])
             sentences.append(row[1])
-    base = osp.basename(metadata)
-    if "train" in base:
-        rel_name = "caption_relevancy_EPIC_100_retrieval_train.pkl"
-    elif "test" in base:
-        rel_name = "caption_relevancy_EPIC_100_retrieval_test.pkl"
-    else:
-        raise ValueError(f"{base} must contain 'train' or 'test'")
-    with open(osp.join(osp.dirname(metadata), "relevancy", rel_name),
-              "rb") as f:
+    if not relevancy_path:
+        base = osp.basename(metadata)
+        if "train" in base:
+            rel_name = "caption_relevancy_EPIC_100_retrieval_train.pkl"
+        elif "test" in base:
+            rel_name = "caption_relevancy_EPIC_100_retrieval_test.pkl"
+        else:
+            raise ValueError(f"{base} must contain 'train' or 'test'")
+        relevancy_path = osp.join(osp.dirname(metadata), "relevancy",
+                                  rel_name)
+    with open(relevancy_path, "rb") as f:
         rel = pickle.load(f)
     return Ek100MirRelevancy(sentence_ids, sentences, np.asarray(rel))
 

@@ -70,14 +70,25 @@ def logit_scale_only(path: str) -> bool:
     return path.endswith("logit_scale")
 
 
+def pseudo_scale_only(path: str) -> bool:
+    """SSLCLIPLoss's criterion-owned pseudo temperature (reference
+    loss.py:141-143 freeze_scale; lives under the packed tree's
+    'criterion' branch, so freeze_temperature never touches it)."""
+    return path.endswith("logit_scale_pseudo")
+
+
 def build_freeze_predicate(*, freeze_temperature=False,
                            timesformer_freeze_space=False,
                            freeze_visual_vclm=False,
                            freeze_visual_vclm_temporal=False,
-                           freeze_lm_vclm=False) -> Callable[[str], bool]:
+                           freeze_lm_vclm=False,
+                           freeze_pseudo_temperature=False
+                           ) -> Callable[[str], bool]:
     preds = []
     if freeze_temperature:
         preds.append(logit_scale_only)
+    if freeze_pseudo_temperature:
+        preds.append(pseudo_scale_only)
     if timesformer_freeze_space or freeze_visual_vclm:
         preds.append(spatial_parts)
     if freeze_visual_vclm_temporal:

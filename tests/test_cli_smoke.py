@@ -107,3 +107,43 @@ def test_pretrain_with_ek100_probe(tmp_path):
     meta = json.loads(
         (tmp_path / "run" / "checkpoint_best.json").read_text())
     assert meta["metrics"]["best_metric"] == rec["mAP_avg"]
+
+
+def test_pretrain_ssl_pseudo_temperature(tmp_path):
+    """--metadata-aux drives the SSL two-temperature loss:
+    logit_scale_pseudo initializes from --pseudo-temperature-init
+    (reference main_pretrain.py:106,195 — the CLI default is 0.07, NOT
+    SSLCLIPLoss's class default 0.08) and --freeze-pseudo-temperature
+    pins it (reference loss.py:142-143)."""
+    import math
+
+    from cli.main_pretrain import main
+    from lavila_tpu.config import PretrainConfig, parse_config
+    cfg = parse_config(PretrainConfig, [
+        "--dataset", "synthetic", "--model", "CLIP_OPENAI_TIMESFORMER_MINI",
+        "--steps", "2", "--batch-size", "8", "--epochs", "1",
+        "--clip-length", "4", "--output-dir", str(tmp_path),
+        "--metadata-aux", "synthetic_aux",
+        "--pseudo-temperature-init", "0.05",
+        "--freeze-pseudo-temperature",
+        "--print-freq", "1", "--workers", "2", "--disable-amp"])
+    state = main(cfg)
+    assert int(state.step) == 2
+    got = float(state.criterion_params["logit_scale_pseudo"])
+    assert got == pytest.approx(math.log(1 / 0.05), rel=1e-6)
+
+
+def test_pretrain_ssl_pseudo_temperature_learns_when_unfrozen(tmp_path):
+    import math
+
+    from cli.main_pretrain import main
+    from lavila_tpu.config import PretrainConfig, parse_config
+    cfg = parse_config(PretrainConfig, [
+        "--dataset", "synthetic", "--model", "CLIP_OPENAI_TIMESFORMER_MINI",
+        "--steps", "2", "--batch-size", "8", "--epochs", "1",
+        "--clip-length", "4", "--output-dir", str(tmp_path),
+        "--metadata-aux", "synthetic_aux",
+        "--print-freq", "1", "--workers", "2", "--disable-amp"])
+    state = main(cfg)
+    got = float(state.criterion_params["logit_scale_pseudo"])
+    assert got != pytest.approx(math.log(1 / 0.07), rel=1e-9)  # updated

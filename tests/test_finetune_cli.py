@@ -141,3 +141,24 @@ def test_finetune_classification_evaluate_only(tmp_path, egtea_cls_fixture):
     out = main(args)
     assert "acc1" in out
     assert not (tmp_path / "run" / "checkpoint_latest").exists()
+
+
+def test_finetune_retrieval_accum_and_frozen_scale(tmp_path,
+                                                   charades_fixture):
+    """--update-freq accumulates gradients (optax.MultiSteps) and
+    logit_scale stays EXACTLY at init — the reference freezes it
+    unconditionally for retrieval fine-tuning
+    (main_finetune_retrieval.py:142)."""
+    import jax.numpy as jnp
+
+    from cli.main_finetune_retrieval import main
+    args = _retrieval_args(tmp_path, charades_fixture)
+    args.update_freq = 2
+    args.fix_lr = True
+    args.clip_grad_value = 1.0
+    args.freeze_temperature = True  # parity no-op: always frozen anyway
+    state = main(args)
+    params = state.params
+    import math
+    assert float(jnp.ravel(params["logit_scale"])[0]) == pytest.approx(
+        math.log(1 / 0.07), rel=1e-6)

@@ -60,3 +60,40 @@ def test_two_shard_infer_and_merge(ego4d_fixture, tmp_path, monkeypatch):
         assert len(caps) == 2 and len(ppls) == 2
         i = uids.index(vid)
         assert t_start == 0.2 and abs(t_end - (2.0 + i * 0.1)) < 1e-6
+
+
+def test_beam_sample_decoding(ego4d_fixture, tmp_path):
+    """--decoding beam_sample routes pseudo-labeling through the
+    BeamDecoder with nrs independent per-return beam sets (reference
+    main_infer_narrator.py:189-201)."""
+    root, meta, uids = ego4d_fixture
+    out = tmp_path / "narr_beam_out"
+
+    from cli.main_infer_narrator import get_args_parser, main
+    argv = ["--dataset", "ego4d", "--root", str(root),
+            "--metadata", str(meta),
+            "--model", "VCLM_OPENAI_TIMESFORMER_MINI_GPT2_MINI",
+            "--clip-length", "2", "--batch-size", "5", "--workers", "2",
+            "--decoding", "beam_sample", "--num-beams", "2",
+            "--num-return-sequences", "2", "--max-text-length", "12",
+            "--output-dir", str(out)]
+    main(get_args_parser().parse_args(argv))
+
+    with open(out / "total.pkl", "rb") as f:
+        merged = pickle.load(f)
+    assert len(merged) == 5
+    for vid, t_start, t_end, caps, scores in merged:
+        assert len(caps) == 2 and len(scores) == 2
+
+
+def test_group_beam_rejects_degenerate_groups(ego4d_fixture, tmp_path):
+    root, meta, _ = ego4d_fixture
+    from cli.main_infer_narrator import get_args_parser, main
+    argv = ["--dataset", "ego4d", "--root", str(root),
+            "--metadata", str(meta),
+            "--model", "VCLM_OPENAI_TIMESFORMER_MINI_GPT2_MINI",
+            "--clip-length", "2", "--decoding", "group_beam",
+            "--num-beams", "3", "--num-beam-groups", "1",
+            "--output-dir", str(tmp_path / "x")]
+    with pytest.raises(SystemExit):
+        main(get_args_parser().parse_args(argv))
