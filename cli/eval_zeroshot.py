@@ -251,7 +251,8 @@ def eval_ek100_mir(model, variables, tokenizer, model_name, *, root,
                          clip_length=clip_length,
                          clip_stride=clip_stride,
                          num_clips=num_clips,
-                         narration_selection=narration_selection)
+                         narration_selection=narration_selection,
+                         relevancy_path=relevancy_path)
     ds = VideoCaptionDataset(dcfg, transform, tokenizer, is_training=False)
     loader = DataLoader(ds, batch_size, shuffle=False, drop_last=False,
                         num_workers=workers)

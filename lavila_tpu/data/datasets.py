@@ -203,6 +203,9 @@ class DatasetConfig:
     narration_selection: str = "random"
     is_trimmed: bool = True
     subsample_stride: Optional[int] = None
+    # explicit EK-100 MIR relevancy pkl; None derives it from the
+    # metadata dir (reference --relevancy-path)
+    relevancy_path: Optional[str] = None
 
 
 class VideoMetadataBase:
@@ -227,7 +230,8 @@ class VideoMetadataBase:
         elif d in ("ek100_cls", "ek100_mir"):
             self.samples = parse_ek100_metadata(cfg.root, cfg.metadata)
             if d == "ek100_mir":
-                mir = load_ek100_mir_relevancy(cfg.metadata)
+                mir = load_ek100_mir_relevancy(cfg.metadata,
+                                               cfg.relevancy_path)
                 self.metadata_sentences = mir.sentences
                 self.relevancy_mat = mir.rel
         elif d == "egtea":

@@ -389,3 +389,64 @@ def test_cls_use_template_expands_prompts(egtea_fixture, monkeypatch):
     assert any(v.startswith("#C C ") for v in first)
     assert any(v.startswith("#C ") and not v.startswith("#C C ")
                for v in first)
+
+
+def test_eval_ek100_mir_explicit_relevancy_path(ek100_fixture, tmp_path):
+    """--relevancy-path overrides the derived pkl location (reference
+    main_finetune_retrieval.py:54/:554; this flag was parsed but IGNORED
+    before round 4 — regression-guard that it actually reaches the
+    loader)."""
+    import shutil
+
+    root, meta = ek100_fixture
+    moved = tmp_path / "elsewhere.pkl"
+    derived = osp.join(osp.dirname(meta), "relevancy",
+                       "caption_relevancy_EPIC_100_retrieval_test.pkl")
+    shutil.move(derived, moved)  # derived location now empty
+
+    from cli.eval_zeroshot import get_args_parser, main
+    argv = ["--dataset", "ek100_mir", "--root", root, "--metadata", meta,
+            "--model", "CLIP_OPENAI_TIMESFORMER_MINI", "--clip-length",
+            "4", "--batch-size", "2", "--workers", "2"]
+    with pytest.raises(FileNotFoundError):
+        main(get_args_parser().parse_args(argv))
+    out = main(get_args_parser().parse_args(
+        argv + ["--relevancy-path", str(moved)]))
+    assert 0.0 <= out["mAP_avg"] <= 1.0
+
+
+def test_eval_zeroshot_output_dir_best_fallback(ek100_fixture, tmp_path,
+                                                monkeypatch):
+    """No --checkpoint: load checkpoint_best from --output-dir (reference
+    eval_zeroshot.py:61-64 precedence)."""
+    root, meta = ek100_fixture
+    from cli.eval_zeroshot import get_args_parser, load_model_from_checkpoint
+
+    # precedence only (no weights on disk): resume beats output-dir
+    args = get_args_parser().parse_args(
+        ["--dataset", "ek100_mir", "--root", root, "--metadata", meta,
+         "--model", "CLIP_OPENAI_TIMESFORMER_MINI", "--clip-length", "4"])
+    args.resume = ""
+    args.output_dir = str(tmp_path)
+    (tmp_path / "checkpoint_best").mkdir()  # orbax ckpts are dirs
+    (tmp_path / "checkpoint_best.json").write_text(json.dumps(
+        {"config": {"model": "CLIP_OPENAI_TIMESFORMER_MINI",
+                    "clip_length": 4}}))
+    seen = {}
+
+    import lavila_tpu.utils.checkpoints as C
+
+    class FakeMgr:
+        def __init__(self, d):
+            seen["dir"] = d
+
+        def restore(self, target, tag):
+            seen["tag"] = tag
+            return target, {}
+
+    monkeypatch.setattr(C, "CheckpointManager", FakeMgr)
+    import cli.eval_zeroshot as Z
+    monkeypatch.setattr(Z, "CheckpointManager", FakeMgr, raising=False)
+    load_model_from_checkpoint(args)
+    assert args.checkpoint == str(tmp_path / "checkpoint_best")
+    assert seen.get("tag") == args.checkpoint
