@@ -255,11 +255,16 @@ def _spatial_flash(qp: jax.Array, kp: jax.Array, vp: jax.Array,
 
     # block_q 192 divides N=576 exactly (no padded q rows); two key
     # tiles cover the 577 keys. ~4 MB of fp32 score/prob temps per
-    # program at the default head-fold of 8.
-    block_q = 192 if N % 192 == 0 else 256
-    block_k = -(-((N + 2) // 2) // 8) * 8
+    # program at the default head-fold of 8. LAVILA_FLASH_BLOCK_{Q,K,BH}
+    # are experiment knobs (read at trace time) for sweeping the tiling
+    # on real hardware — see docs/PERF.md for the measured sweep.
+    block_q = (int(os.environ.get("LAVILA_FLASH_BLOCK_Q", "0"))
+               or (192 if N % 192 == 0 else 256))
+    block_k = (int(os.environ.get("LAVILA_FLASH_BLOCK_K", "0"))
+               or -(-((N + 2) // 2) // 8) * 8)
+    block_bh = int(os.environ.get("LAVILA_FLASH_BLOCK_BH", "0")) or 8
     out = fused_attention(to_heads(qp), to_heads(kg), to_heads(vg),
-                          False, scale, block_q, block_k, 8,
+                          False, scale, block_q, block_k, block_bh,
                           jax.default_backend() != "tpu")
     return out.reshape(B, F, H, N, d).transpose(0, 1, 3, 2, 4)
 

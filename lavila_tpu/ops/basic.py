@@ -11,6 +11,7 @@ TPU notes:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional
 
 import jax
@@ -100,22 +101,38 @@ class LayerNorm(nn.Module):
         # Hence: fused only for 3-D activations (the text/decoder
         # shape); 4-D tower tensors stay on the XLA path.
         from lavila_tpu.ops.attention import get_attention_backend
+        # LAVILA_VISION_LN=fused additionally routes 4-D tower
+        # activations through the kernel (via a free leading-axes
+        # reshape) — an experiment knob for re-measuring the XLA-vs-
+        # fused tradeoff on large-activation shapes (e.g. 336px towers).
+        fuse_4d = (os.environ.get("LAVILA_VISION_LN", "") == "fused"
+                   and x.ndim == 4)
+        n_rows = 1
+        for s in x.shape[:-1]:
+            n_rows *= s
         if (get_attention_backend() == "pallas" and dim % 128 == 0
-                and x.ndim == 3 and x.shape[0] * x.shape[1] >= 256
+                and (x.ndim == 3 or fuse_4d) and n_rows >= 256
                 and x.dtype in (jnp.bfloat16, jnp.float32)):
             from lavila_tpu.ops.pallas.layernorm import (fused_add_layernorm,
                                                          fused_layernorm)
             s3 = scale if scale is not None else jnp.ones((dim,), jnp.float32)
             b3 = bias if bias is not None else jnp.zeros((dim,), jnp.float32)
+            interp = jax.default_backend() != "tpu"
+            shape = x.shape
+            x3 = x.reshape(-1, shape[-2], dim) if fuse_4d else x
             if residual is not None:
-                r3 = residual.astype(x.dtype).reshape(x.shape)
+                r3 = residual.astype(x.dtype).reshape(x3.shape)
                 if not return_sum:
                     from lavila_tpu.ops.pallas.layernorm import \
                         fused_add_layernorm_nosum
                     return fused_add_layernorm_nosum(
-                        x, r3, s3, b3, self.epsilon)
-                return fused_add_layernorm(x, r3, s3, b3, self.epsilon)
-            return fused_layernorm(x, s3, b3, self.epsilon)
+                        x3, r3, s3, b3, self.epsilon,
+                        interp).reshape(shape)
+                y, s = fused_add_layernorm(x3, r3, s3, b3, self.epsilon,
+                                           interp)
+                return y.reshape(shape), s.reshape(shape)
+            return fused_layernorm(x3, s3, b3, self.epsilon,
+                                   interp).reshape(shape)
 
         summed = None
         if residual is not None:

@@ -218,3 +218,35 @@ def test_spatial_flash_n576_value_and_grads_match_grouped():
     for a, b, name in zip(got_g, want_g, ["dq", "dk", "dv"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-3, err_msg=name)
+
+
+def test_spatial_flash_block_knobs_preserve_semantics(monkeypatch):
+    """LAVILA_FLASH_BLOCK_{Q,K,BH} re-tile the flash spatial kernel for
+    on-hardware sweeps; any legal tiling must be semantics-preserving.
+    Exercises the whole-frame q block + whole-row key block (nq=nk=1)."""
+    from lavila_tpu.ops import attention as A
+
+    rng = np.random.default_rng(31)
+    B, F, N, H, dh = 1, 2, 576, 4, 16
+    shape = (B, 1 + F * N, H, dh)
+    q, k, v = (jnp.asarray(rng.normal(size=shape), jnp.float32)
+               for _ in range(3))
+
+    def run():
+        old = A.get_attention_backend()
+        A.set_attention_backend("pallas")
+        try:
+            return A.divided_attention(q, k, v, F, "space")
+        finally:
+            A.set_attention_backend(old)
+
+    monkeypatch.delenv("LAVILA_FLASH_BLOCK_Q", raising=False)
+    monkeypatch.delenv("LAVILA_FLASH_BLOCK_K", raising=False)
+    monkeypatch.delenv("LAVILA_FLASH_BLOCK_BH", raising=False)
+    want = run()
+    monkeypatch.setenv("LAVILA_FLASH_BLOCK_Q", "576")
+    monkeypatch.setenv("LAVILA_FLASH_BLOCK_K", "584")
+    monkeypatch.setenv("LAVILA_FLASH_BLOCK_BH", "4")
+    got = run()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)

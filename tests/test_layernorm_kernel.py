@@ -146,3 +146,30 @@ def test_layernorm_module_residual_paths():
     y2 = ln.apply(params, x, r, False)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y_plain),
                                rtol=1e-6)
+
+
+def test_vision_ln_knob_routes_4d(monkeypatch):
+    """LAVILA_VISION_LN=fused routes 4-D tower activations through the
+    fused kernel via a leading-axes reshape — outputs (and the residual
+    pair) must match the XLA path bit-for-bit-ish."""
+    from lavila_tpu.ops import attention as A
+    from lavila_tpu.ops import basic
+    monkeypatch.setattr(A, "_BACKEND", "pallas")
+    rng = np.random.default_rng(7)
+    ln = basic.LayerNorm()
+    x = jnp.asarray(rng.normal(size=(2, 4, 64, 128)), jnp.float32)
+    r = jnp.asarray(rng.normal(size=(2, 4, 64, 128)), jnp.float32)
+    params = ln.init(jax.random.key(0), x)
+    monkeypatch.delenv("LAVILA_VISION_LN", raising=False)
+    want = ln.apply(params, x)
+    wy, ws = ln.apply(params, x, r)
+    monkeypatch.setenv("LAVILA_VISION_LN", "fused")
+    got = ln.apply(params, x)
+    gy, gs = ln.apply(params, x, r)
+    assert got.shape == x.shape and gy.shape == x.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(wy),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(ws),
+                               atol=1e-6, rtol=1e-6)
