@@ -315,6 +315,21 @@ def divided_attention_split(cls_q: jax.Array, cls_k: jax.Array,
     _space_fits_vmem = N <= 256
     if (get_attention_backend() == "pallas" and axis == "space"
             and not _space_fits_vmem):
+        # Default: token-major (B, H, F)-gridded kernel with per-head
+        # O(N²) VMEM temps and a single merged backward — no head-major
+        # relayout or CLS concat in HBM (ops/pallas/divided.py:
+        # spatial_phase_big). LAVILA_SPATIAL_BIG=flash keeps the older
+        # key-tiled flash route for comparison sweeps.
+        if (os.environ.get("LAVILA_SPATIAL_BIG", "") != "flash"
+                and N % 8 == 0 and d % 8 == 0):
+            from lavila_tpu.ops.pallas.divided import spatial_phase_big
+            D = H * d
+            patches = spatial_phase_big(
+                qp.reshape(B, F, N, D), kp.reshape(B, F, N, D),
+                vp.reshape(B, F, N, D), cls_k.reshape(B, D),
+                cls_v.reshape(B, D), H, scale,
+                jax.default_backend() != "tpu")
+            return cls_out, patches.reshape(B, F, N, H, d)
         return cls_out, _spatial_flash(qp, kp, vp, cls_k, cls_v, scale)
     if get_attention_backend() == "pallas" and (
             axis == "time" or _space_fits_vmem):
@@ -334,7 +349,8 @@ def divided_attention_split(cls_q: jax.Array, cls_k: jax.Array,
         patches = divided_phase(
             qp.reshape(B, F, N, D), kp.reshape(B, F, N, D),
             vp.reshape(B, F, N, D), cls_k.reshape(B, D),
-            cls_v.reshape(B, D), axis, H, scale)
+            cls_v.reshape(B, D), axis, H, scale,
+            jax.default_backend() != "tpu")
         return cls_out, patches.reshape(B, F, N, H, d)
 
     if axis == "time" and F <= 8 and get_attention_backend() == "xla":

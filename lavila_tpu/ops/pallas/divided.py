@@ -391,6 +391,172 @@ def _phase_bwd(qp, kp, vp, ck, cv, do, lse, out, axis, heads, scale,
             dcv.reshape(B, D).astype(cv.dtype))
 
 
+# ==========================================================================
+# LARGE-N spatial phase (the 336px towers' N = 576 frames): grid
+# (B, H, F); block = ONE (frame, head)'s (N, dh) slice, cut straight out
+# of the token-major (B, F, N, D) layout by the block system — no
+# head-major transpose, no CLS concatenate and no fp32 score temp ever
+# materializes in HBM (the flash-attention route this replaces paid
+# ~31 ms/step of relayout copies for exactly those, measured on the
+# TSF-L@336 batch-4 step).
+#
+# Scores are computed TRANSPOSED, sT = K_all Qᵀ of shape (N+1, N) with
+# the CLS key folded in as row 0 by an in-VMEM concat, so that
+#   * softmax statistics (m, l, lse) are (1, N) ROW vectors that
+#     broadcast over sublanes with no in-kernel transposes;
+#   * the backward's delta needs no (N, 1) column either:
+#     delta[n] = Σ_d do·o = Σ_j pT[j, n] · dpT[j, n] — an elementwise
+#     multiply + sublane reduce of two temps it already has;
+#   * dq/dk/dv contract over the (N+1)-deep token axis — full-depth MXU
+#     dots — and the whole backward is ONE kernel (5 dots/head vs the
+#     8 of a split dq/dkv flash pair, with q/k/v/do read once).
+# Per program the live fp32 temps are O(N²) for a single head
+# (~1.4 MB at N=576 — the whole-frame kernel above keeps every head's
+# alive at once, which is why it stops at N = 256).
+# ==========================================================================
+
+
+def _space_big_fwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref,
+                          lse_ref, *, scale: float):
+    q = q_ref[0, 0]                                   # (N, dh)
+    k_all = jnp.concatenate([ck_ref[0], k_ref[0, 0]], axis=0)  # (N+1, dh)
+    v_all = jnp.concatenate([cv_ref[0], v_ref[0, 0]], axis=0)
+    sT = jax.lax.dot_general(
+        k_all, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # (N+1, N)
+    m = jnp.max(sT, axis=0, keepdims=True)            # (1, N)
+    p = jnp.exp(sT - m)
+    l = jnp.sum(p, axis=0, keepdims=True)             # (1, N)
+    pn = (p / l).astype(v_all.dtype)                  # normalized probs
+    o = jax.lax.dot_general(
+        pn, v_all, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (N, dh)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+    lse_ref[0, 0] = m + jnp.log(l)
+
+
+def _space_big_bwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref,
+                          lse_ref, dq_ref, dk_ref, dv_ref, dck_ref,
+                          dcv_ref, *, scale: float):
+    f = pl.program_id(2)
+
+    @pl.when(f == 0)
+    def _init():
+        dck_ref[...] = jnp.zeros_like(dck_ref)
+        dcv_ref[...] = jnp.zeros_like(dcv_ref)
+
+    dt = q_ref.dtype
+    q = q_ref[0, 0]                                   # (N, dh)
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0]                               # (1, N) f32
+    k_all = jnp.concatenate([ck_ref[0], k_ref[0, 0]], axis=0)
+    v_all = jnp.concatenate([cv_ref[0], v_ref[0, 0]], axis=0)
+    sT = jax.lax.dot_general(
+        k_all, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    pT = jnp.exp(sT - lse)                            # (N+1, N), normalized
+    dpT = jax.lax.dot_general(
+        v_all, do, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (N+1, N)
+    # delta[n] = Σ_d do·o = Σ_j pT[j,n]·dpT[j,n]: no (N,1) column needed
+    delta = jnp.sum(pT * dpT, axis=0, keepdims=True)  # (1, N)
+    dsT = (pT * (dpT - delta)).astype(dt)             # (N+1, N)
+    dq = jax.lax.dot_general(
+        dsT, k_all, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # (N, dh)
+    dk_all = jax.lax.dot_general(
+        dsT, q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # (N+1, dh)
+    dv_all = jax.lax.dot_general(
+        pT.astype(dt), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (N+1, dh)
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk_all[1:].astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv_all[1:].astype(dv_ref.dtype)
+    dck_ref[0] += dk_all[0:1]
+    dcv_ref[0] += dv_all[0:1]
+
+
+def _space_big_specs(B, F, N, D, H):
+    dh = D // H
+    tok = pl.BlockSpec((1, 1, N, dh), lambda b, h, f: (b, f, 0, h),
+                       memory_space=pltpu.VMEM)
+    cls = pl.BlockSpec((1, 1, dh), lambda b, h, f: (b, 0, h),
+                       memory_space=pltpu.VMEM)
+    lse = pl.BlockSpec((1, 1, 1, N), lambda b, h, f: (b, h, f, 0),
+                       memory_space=pltpu.VMEM)
+    # dck/dcv blocks are constant across the innermost f axis so the
+    # accumulator stays resident in VMEM between revisits
+    dcls = pl.BlockSpec((1, 1, dh), lambda b, h, f: (b, 0, h),
+                        memory_space=pltpu.VMEM)
+    return tok, cls, lse, dcls, (B, H, F)
+
+
+def _space_big_fwd(qp, kp, vp, ck, cv, heads, scale, interpret):
+    B, F, N, D = qp.shape
+    tok, cls, lse_spec, _, grid = _space_big_specs(B, F, N, D, heads)
+    out, lse = pl.pallas_call(
+        functools.partial(_space_big_fwd_kernel, scale=scale),
+        out_shape=(jax.ShapeDtypeStruct(qp.shape, qp.dtype),
+                   jax.ShapeDtypeStruct((B, heads, F, N), jnp.float32)),
+        grid=grid,
+        in_specs=[tok, tok, tok, cls, cls],
+        out_specs=(tok, lse_spec),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        interpret=interpret,
+    )(qp, kp, vp, ck.reshape(B, 1, D), cv.reshape(B, 1, D))
+    return out, lse
+
+
+def _space_big_bwd(qp, kp, vp, ck, cv, do, lse, heads, scale, interpret):
+    B, F, N, D = qp.shape
+    tok, cls, lse_spec, dcls, grid = _space_big_specs(B, F, N, D, heads)
+    dq, dk, dv, dck, dcv = pl.pallas_call(
+        functools.partial(_space_big_bwd_kernel, scale=scale),
+        out_shape=(jax.ShapeDtypeStruct(qp.shape, qp.dtype),
+                   jax.ShapeDtypeStruct(qp.shape, qp.dtype),
+                   jax.ShapeDtypeStruct(qp.shape, qp.dtype),
+                   jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, D), jnp.float32)),
+        grid=grid,
+        in_specs=[tok, tok, tok, cls, cls, tok, lse_spec],
+        out_specs=(tok, tok, tok, dcls, dcls),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qp, kp, vp, ck.reshape(B, 1, D), cv.reshape(B, 1, D), do, lse)
+    return (dq, dk, dv, dck.reshape(B, D).astype(ck.dtype),
+            dcv.reshape(B, D).astype(cv.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def spatial_phase_big(qp, kp, vp, ck, cv, heads, scale, interpret=False):
+    """Spatial divided attention for LARGE frames (N > 256).
+
+    Same contract as ``divided_phase(..., axis='space')``: qp/kp/vp are
+    (B, F, N, D) token-major patch tokens, ck/cv (B, D) the CLS key/value
+    row folded into every frame's softmax; returns patch outputs
+    (B, F, N, D). The CLS token's own output row stays with the caller.
+    """
+    out, _ = _space_big_fwd(qp, kp, vp, ck, cv, heads, scale, interpret)
+    return out
+
+
+def _spatial_big_vjp_fwd(qp, kp, vp, ck, cv, heads, scale, interpret):
+    out, lse = _space_big_fwd(qp, kp, vp, ck, cv, heads, scale, interpret)
+    return out, (qp, kp, vp, ck, cv, lse)
+
+
+def _spatial_big_vjp_bwd(heads, scale, interpret, res, g):
+    qp, kp, vp, ck, cv, lse = res
+    return _space_big_bwd(qp, kp, vp, ck, cv, g, lse, heads, scale,
+                          interpret)
+
+
+spatial_phase_big.defvjp(_spatial_big_vjp_fwd, _spatial_big_vjp_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def divided_phase(qp, kp, vp, ck, cv, axis, heads, scale, interpret=False):
     """Patch-token divided attention for one phase.

@@ -58,6 +58,13 @@ def main():
             out_path = os.path.join(JOBS, "out", name + ".out")
             print(f"[server] running {name}", flush=True)
             t0 = time.time()
+            # Purge repo modules so source edits between jobs take
+            # effect — jax and its caches stay loaded, which is the
+            # whole point of the shared process.
+            for mod in [m for m in sys.modules
+                        if m.split(".")[0] in ("lavila_tpu", "tpu_exp_lib",
+                                               "bench", "cli", "scripts")]:
+                del sys.modules[mod]
             src = open(path).read()
             with open(out_path, "w") as out:
                 tee = _Tee(sys.__stdout__, out)

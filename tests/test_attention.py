@@ -240,6 +240,7 @@ def test_spatial_flash_block_knobs_preserve_semantics(monkeypatch):
         finally:
             A.set_attention_backend(old)
 
+    monkeypatch.setenv("LAVILA_SPATIAL_BIG", "flash")  # pin the flash route
     monkeypatch.delenv("LAVILA_FLASH_BLOCK_Q", raising=False)
     monkeypatch.delenv("LAVILA_FLASH_BLOCK_K", raising=False)
     monkeypatch.delenv("LAVILA_FLASH_BLOCK_BH", raising=False)
