@@ -416,28 +416,46 @@ def _phase_bwd(qp, kp, vp, ck, cv, do, lse, out, axis, heads, scale,
 # ==========================================================================
 
 
+def _space_big_hf(D, H):
+    """Heads folded per program: the smallest fold whose lane width is a
+    legal Mosaic block minor dim (multiple of 128, or the full D)."""
+    dh = D // H
+    hf = max(1, 128 // dh) if (128 % dh == 0) else H
+    while H % hf or (hf * dh) % 128:
+        hf += 1
+        if hf >= H:
+            return H
+    return hf
+
+
 def _space_big_fwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, o_ref,
-                          lse_ref, *, scale: float):
-    q = q_ref[0, 0]                                   # (N, dh)
-    k_all = jnp.concatenate([ck_ref[0], k_ref[0, 0]], axis=0)  # (N+1, dh)
-    v_all = jnp.concatenate([cv_ref[0], v_ref[0, 0]], axis=0)
-    sT = jax.lax.dot_general(
-        k_all, q, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale   # (N+1, N)
-    m = jnp.max(sT, axis=0, keepdims=True)            # (1, N)
-    p = jnp.exp(sT - m)
-    l = jnp.sum(p, axis=0, keepdims=True)             # (1, N)
-    pn = (p / l).astype(v_all.dtype)                  # normalized probs
-    o = jax.lax.dot_general(
-        pn, v_all, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (N, dh)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
-    lse_ref[0, 0] = m + jnp.log(l)
+                          lse_ref, *, heads_per_block: int, scale: float):
+    f = pl.program_id(2)
+    dh = q_ref.shape[-1] // heads_per_block
+    for i in range(heads_per_block):
+        sl = pl.ds(i * dh, dh)
+        q = q_ref[0, 0, :, sl]                        # (N, dh)
+        k_all = jnp.concatenate([ck_ref[0, :, sl], k_ref[0, 0, :, sl]],
+                                axis=0)               # (N+1, dh)
+        v_all = jnp.concatenate([cv_ref[0, :, sl], v_ref[0, 0, :, sl]],
+                                axis=0)
+        sT = jax.lax.dot_general(
+            k_all, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # (N+1, N)
+        m = jnp.max(sT, axis=0, keepdims=True)        # (1, N)
+        p = jnp.exp(sT - m)
+        l = jnp.sum(p, axis=0, keepdims=True)         # (1, N)
+        pn = (p / l).astype(v_all.dtype)              # normalized probs
+        o = jax.lax.dot_general(
+            pn, v_all, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (N, dh)
+        o_ref[0, 0, :, sl] = o.astype(o_ref.dtype)
+        lse_ref[0, i, f, :] = (m + jnp.log(l))[0]
 
 
 def _space_big_bwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref,
                           lse_ref, dq_ref, dk_ref, dv_ref, dck_ref,
-                          dcv_ref, *, scale: float):
+                          dcv_ref, *, heads_per_block: int, scale: float):
     f = pl.program_id(2)
 
     @pl.when(f == 0)
@@ -446,64 +464,73 @@ def _space_big_bwd_kernel(q_ref, k_ref, v_ref, ck_ref, cv_ref, do_ref,
         dcv_ref[...] = jnp.zeros_like(dcv_ref)
 
     dt = q_ref.dtype
-    q = q_ref[0, 0]                                   # (N, dh)
-    do = do_ref[0, 0]
-    lse = lse_ref[0, 0]                               # (1, N) f32
-    k_all = jnp.concatenate([ck_ref[0], k_ref[0, 0]], axis=0)
-    v_all = jnp.concatenate([cv_ref[0], v_ref[0, 0]], axis=0)
-    sT = jax.lax.dot_general(
-        k_all, q, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    pT = jnp.exp(sT - lse)                            # (N+1, N), normalized
-    dpT = jax.lax.dot_general(
-        v_all, do, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (N+1, N)
-    # delta[n] = Σ_d do·o = Σ_j pT[j,n]·dpT[j,n]: no (N,1) column needed
-    delta = jnp.sum(pT * dpT, axis=0, keepdims=True)  # (1, N)
-    dsT = (pT * (dpT - delta)).astype(dt)             # (N+1, N)
-    dq = jax.lax.dot_general(
-        dsT, k_all, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale   # (N, dh)
-    dk_all = jax.lax.dot_general(
-        dsT, q, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale   # (N+1, dh)
-    dv_all = jax.lax.dot_general(
-        pT.astype(dt), do, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (N+1, dh)
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk_all[1:].astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv_all[1:].astype(dv_ref.dtype)
-    dck_ref[0] += dk_all[0:1]
-    dcv_ref[0] += dv_all[0:1]
+    dh = q_ref.shape[-1] // heads_per_block
+    for i in range(heads_per_block):
+        sl = pl.ds(i * dh, dh)
+        q = q_ref[0, 0, :, sl]                        # (N, dh)
+        do = do_ref[0, 0, :, sl]
+        lse = lse_ref[0, i, f, :][None]               # (1, N) f32
+        k_all = jnp.concatenate([ck_ref[0, :, sl], k_ref[0, 0, :, sl]],
+                                axis=0)
+        v_all = jnp.concatenate([cv_ref[0, :, sl], v_ref[0, 0, :, sl]],
+                                axis=0)
+        sT = jax.lax.dot_general(
+            k_all, q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        pT = jnp.exp(sT - lse)                        # (N+1, N), normalized
+        dpT = jax.lax.dot_general(
+            v_all, do, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (N+1, N)
+        # delta[n] = Σ_d do·o = Σ_j pT[j,n]·dpT[j,n]: no (N,1) column
+        delta = jnp.sum(pT * dpT, axis=0, keepdims=True)   # (1, N)
+        dsT = (pT * (dpT - delta)).astype(dt)         # (N+1, N)
+        dq = jax.lax.dot_general(
+            dsT, k_all, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # (N, dh)
+        dk_all = jax.lax.dot_general(
+            dsT, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # (N+1, dh)
+        dv_all = jax.lax.dot_general(
+            pT.astype(dt), do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (N+1, dh)
+        dq_ref[0, 0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, 0, :, sl] = dk_all[1:].astype(dk_ref.dtype)
+        dv_ref[0, 0, :, sl] = dv_all[1:].astype(dv_ref.dtype)
+        dck_ref[0, :, sl] += dk_all[0:1]
+        dcv_ref[0, :, sl] += dv_all[0:1]
 
 
 def _space_big_specs(B, F, N, D, H):
-    dh = D // H
-    tok = pl.BlockSpec((1, 1, N, dh), lambda b, h, f: (b, f, 0, h),
+    hf = _space_big_hf(D, H)
+    w = hf * (D // H)
+    tok = pl.BlockSpec((1, 1, N, w), lambda b, h, f: (b, f, 0, h),
                        memory_space=pltpu.VMEM)
-    cls = pl.BlockSpec((1, 1, dh), lambda b, h, f: (b, 0, h),
+    cls = pl.BlockSpec((1, 1, w), lambda b, h, f: (b, 0, h),
                        memory_space=pltpu.VMEM)
-    lse = pl.BlockSpec((1, 1, 1, N), lambda b, h, f: (b, h, f, 0),
+    # one (head-fold, F, N) lse slab per (b, h) — revisited across the
+    # innermost f axis, each step filling its frame's rows
+    lse = pl.BlockSpec((1, hf, F, N), lambda b, h, f: (b, h, 0, 0),
                        memory_space=pltpu.VMEM)
     # dck/dcv blocks are constant across the innermost f axis so the
     # accumulator stays resident in VMEM between revisits
-    dcls = pl.BlockSpec((1, 1, dh), lambda b, h, f: (b, 0, h),
+    dcls = pl.BlockSpec((1, 1, w), lambda b, h, f: (b, 0, h),
                         memory_space=pltpu.VMEM)
-    return tok, cls, lse, dcls, (B, H, F)
+    return tok, cls, lse, dcls, hf, (B, H // hf, F)
 
 
 def _space_big_fwd(qp, kp, vp, ck, cv, heads, scale, interpret):
     B, F, N, D = qp.shape
-    tok, cls, lse_spec, _, grid = _space_big_specs(B, F, N, D, heads)
+    tok, cls, lse_spec, _, hf, grid = _space_big_specs(B, F, N, D, heads)
     out, lse = pl.pallas_call(
-        functools.partial(_space_big_fwd_kernel, scale=scale),
+        functools.partial(_space_big_fwd_kernel, heads_per_block=hf,
+                          scale=scale),
         out_shape=(jax.ShapeDtypeStruct(qp.shape, qp.dtype),
                    jax.ShapeDtypeStruct((B, heads, F, N), jnp.float32)),
         grid=grid,
         in_specs=[tok, tok, tok, cls, cls],
         out_specs=(tok, lse_spec),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(qp, kp, vp, ck.reshape(B, 1, D), cv.reshape(B, 1, D))
     return out, lse
@@ -511,9 +538,10 @@ def _space_big_fwd(qp, kp, vp, ck, cv, heads, scale, interpret):
 
 def _space_big_bwd(qp, kp, vp, ck, cv, do, lse, heads, scale, interpret):
     B, F, N, D = qp.shape
-    tok, cls, lse_spec, dcls, grid = _space_big_specs(B, F, N, D, heads)
+    tok, cls, lse_spec, dcls, hf, grid = _space_big_specs(B, F, N, D, heads)
     dq, dk, dv, dck, dcv = pl.pallas_call(
-        functools.partial(_space_big_bwd_kernel, scale=scale),
+        functools.partial(_space_big_bwd_kernel, heads_per_block=hf,
+                          scale=scale),
         out_shape=(jax.ShapeDtypeStruct(qp.shape, qp.dtype),
                    jax.ShapeDtypeStruct(qp.shape, qp.dtype),
                    jax.ShapeDtypeStruct(qp.shape, qp.dtype),
