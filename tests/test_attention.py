@@ -251,3 +251,39 @@ def test_spatial_flash_block_knobs_preserve_semantics(monkeypatch):
     got = run()
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_spatial_big_headpair_fold_matches_grouped():
+    """dh=64 geometries fold head PAIRS per program (block minor dim must
+    be a multiple of 128 on Mosaic) — the in-kernel per-head lane-slice
+    path. H=2, dh=64 exercises hf=2 in interpret mode; fwd + grads must
+    match the grouped oracle."""
+    import jax
+    from lavila_tpu.ops import attention as A
+    from lavila_tpu.ops.pallas.divided import _space_big_hf
+
+    assert _space_big_hf(128, 2) == 2  # the fold this test covers
+    rng = np.random.default_rng(37)
+    B, F, N, H, dh = 1, 2, 576, 2, 64
+    shape = (B, 1 + F * N, H, dh)
+    q, k, v = (jnp.asarray(rng.normal(size=shape), jnp.float32)
+               for _ in range(3))
+    cot = jnp.asarray(rng.normal(size=shape), jnp.float32)
+
+    def run(backend):
+        old = A.get_attention_backend()
+        A.set_attention_backend(backend)
+        try:
+            def f(q, k, v):
+                out = A.divided_attention(q, k, v, F, "space")
+                return jnp.sum(out * cot)
+            return jax.value_and_grad(f, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            A.set_attention_backend(old)
+
+    want_val, want_g = run("grouped")
+    got_val, got_g = run("pallas")
+    np.testing.assert_allclose(float(got_val), float(want_val), rtol=1e-4)
+    for a, b, name in zip(got_g, want_g, ["dq", "dk", "dv"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-3, err_msg=name)
