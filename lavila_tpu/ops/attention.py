@@ -313,15 +313,16 @@ def divided_attention_split(cls_q: jax.Array, cls_k: jax.Array,
     # compile. Large-N spatial routes to the key-tiled flash kernel
     # instead (online softmax, O(block) VMEM — _spatial_flash above).
     _space_fits_vmem = N <= 256
+    _spatial_pref = os.environ.get("LAVILA_SPATIAL_BIG", "")
     if (get_attention_backend() == "pallas" and axis == "space"
-            and not _space_fits_vmem):
+            and (not _space_fits_vmem or _spatial_pref == "big")):
         # Default: token-major (B, H, F)-gridded kernel with per-head
         # O(N²) VMEM temps and a single merged backward — no head-major
         # relayout or CLS concat in HBM (ops/pallas/divided.py:
         # spatial_phase_big). LAVILA_SPATIAL_BIG=flash keeps the older
-        # key-tiled flash route for comparison sweeps.
-        if (os.environ.get("LAVILA_SPATIAL_BIG", "") != "flash"
-                and N % 8 == 0 and d % 8 == 0):
+        # key-tiled flash route for comparison sweeps; =big forces this
+        # kernel at N <= 256 too for A/B against the whole-frame kernel.
+        if (_spatial_pref != "flash" and d % 8 == 0):
             from lavila_tpu.ops.pallas.divided import spatial_phase_big
             D = H * d
             patches = spatial_phase_big(

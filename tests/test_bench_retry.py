@@ -139,13 +139,16 @@ def test_run_attempt_real_subprocess_phases(tmp_path):
         init_timeout_s=1, run_timeout_s=60, poll_s=0.2)
     assert phase == "init-timeout" and rc is None
 
-    # run-timeout: sentinel printed, then the child hangs
+    # run-timeout: sentinel printed, then the child hangs. NB the
+    # pre-init phase is capped by min(init, run) timeouts, so run_timeout
+    # must leave slack for interpreter startup under a loaded machine —
+    # 2 s flaked when a TPU sweep and the suite shared the box.
     code = ("import sys, time;"
             f"print({bench._INIT_SENTINEL!r} + ' cpu x1', file=sys.stderr,"
             "flush=True); time.sleep(60)")
     phase, rc, _, err = bench._run_attempt(
         [sys.executable, "-c", code],
-        init_timeout_s=30, run_timeout_s=2, poll_s=0.2)
+        init_timeout_s=30, run_timeout_s=8, poll_s=0.2)
     assert phase == "run-timeout" and rc is None
 
 
