@@ -221,8 +221,10 @@ _cls_row_attention.defvjp(_cls_row_vjp_fwd, _cls_row_vjp_bwd)
 def _spatial_flash(qp: jax.Array, kp: jax.Array, vp: jax.Array,
                    cls_k: jax.Array, cls_v: jax.Array,
                    scale: float) -> jax.Array:
-    """Spatial divided attention for LARGE frames (N > 256 tokens, i.e.
-    the 336px towers' 576-token frames) via the key-tiled flash kernel.
+    """Key-tiled flash route for large-N spatial attention — kept as the
+    LAVILA_SPATIAL_BIG=flash comparison fallback; the production N > 256
+    route is ops/pallas/divided.py:spatial_phase_big (token-major blocks,
+    merged backward — measured 336 → 272 ms/step on TSF-L@336 b4).
 
     The whole-frame kernel in ops/pallas/divided.py holds every head's
     (N, N) fp32 score block on the Mosaic stack at once — ~40 MB at

@@ -2,9 +2,13 @@
 
 Online-softmax tiling over the KV sequence: the (Lq, Lk) score matrix is
 never materialized in HBM — scores, softmax and the PV matmul happen in
-VMEM per (q-block, kv-block) tile with running max/sum rescaling. Used
-for the TimeSformer's divided space-time attention groups (CLS-prepended
-keys) and the text towers' causal attention.
+VMEM per (q-block, kv-block) tile with running max/sum rescaling.
+Today this is the LAVILA_SPATIAL_BIG=flash comparison fallback for the
+large-N spatial phase (the production N > 256 route is the token-major
+ops/pallas/divided.py:spatial_phase_big, which beat it 336 → 272
+ms/step on TSF-L@336 by avoiding the head-major relayout copies) and
+the general-purpose fused attention for any (B, H, L, d) layout,
+including causal masking.
 
 Layouts: q (B, H, Lq, d), k/v (B, H, Lk, d) — callers fold extra batch
 axes (frames/positions groups) into B. Supports:
