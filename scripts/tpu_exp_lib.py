@@ -19,8 +19,9 @@ import numpy as np
 
 
 def time_clip_step(model_name="CLIP_OPENAI_TIMESFORMER_LARGE_336PX",
-                   img=336, batch=4, remat=True, remat_policy="full",
-                   iters=10, warmup=3, env=None, label=""):
+                   img=336, batch=4, frames=4, remat=True,
+                   remat_policy="full", iters=10, warmup=3, env=None,
+                   label=""):
     """Build + time one dual-encoder train step; returns ms/step.
 
     ``env``: dict of env-var experiment knobs set for the duration of
@@ -38,12 +39,12 @@ def time_clip_step(model_name="CLIP_OPENAI_TIMESFORMER_LARGE_336PX",
         from lavila_tpu.train.step import TrainState, make_clip_train_step
 
         kw = dict(remat=True, remat_policy=remat_policy) if remat else {}
-        model = build_model(model_name, num_frames=4, dtype=jnp.bfloat16,
-                            **kw)
+        model = build_model(model_name, num_frames=frames,
+                            dtype=jnp.bfloat16, **kw)
         rng = np.random.default_rng(0)
         batch_d = {
             "frames": jnp.asarray(
-                rng.normal(size=(batch, 4, img, img, 3)), jnp.bfloat16),
+                rng.normal(size=(batch, frames, img, img, 3)), jnp.bfloat16),
             "text": jnp.asarray(rng.integers(1, 49407, size=(batch, 77)),
                                 jnp.int32),
         }
