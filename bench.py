@@ -72,7 +72,7 @@ def flops_per_clip(img=224, patch=16, frames=4, depth=12, dim=768,
     return f
 
 
-def main(model_key: str = "tsf_b", batch_size: int = 0):
+def main(model_key: str = "tsf_b", batch_size: int = 0, frames: int = 4):
     from lavila_tpu.models import build_model
     from lavila_tpu.train.optim import make_optimizer
     from lavila_tpu.train.step import TrainState, make_clip_train_step
@@ -81,12 +81,17 @@ def main(model_key: str = "tsf_b", batch_size: int = 0):
     # (lavila_tpu/ops/attention.py), overridable via LAVILA_ATTENTION
     g = BENCH_MODELS[model_key]
     batch_size = batch_size or g["batch"]
-    kw = dict(remat=True) if g["remat"] else {}
-    model = build_model(g["name"], num_frames=4, dtype=jnp.bfloat16, **kw)
+    # 16 frames = the reference fine-tune clip_length (reference
+    # main_finetune_retrieval.py / _classification.py defaults 16/4,
+    # 16/2); remat is forced there — the 16f activations are ~4x the
+    # pretrain shape's
+    kw = dict(remat=True) if (g["remat"] or frames > 4) else {}
+    model = build_model(g["name"], num_frames=frames, dtype=jnp.bfloat16,
+                        **kw)
     rng = np.random.default_rng(0)
     batch = {
         "frames": jnp.asarray(
-            rng.normal(size=(batch_size, 4, g["img"], g["img"], 3)),
+            rng.normal(size=(batch_size, frames, g["img"], g["img"], 3)),
             jnp.bfloat16),
         "text": jnp.asarray(rng.integers(1, 49407, size=(batch_size, 77)),
                             jnp.int32),
@@ -114,13 +119,14 @@ def main(model_key: str = "tsf_b", batch_size: int = 0):
     # fwd + bwd ≈ 3x fwd FLOPs (remat adds recompute the analytic count
     # deliberately ignores — MFU stays comparable across recipes)
     step_flops = 3 * flops_per_clip(
-        img=g["img"], patch=g["patch"], depth=g["depth"], dim=g["dim"],
-        text_dim=g["text_dim"]) * batch_size
+        img=g["img"], patch=g["patch"], frames=frames, depth=g["depth"],
+        dim=g["dim"], text_dim=g["text_dim"]) * batch_size
     achieved = step_flops * iters / dt
     peak = 197e12  # TPU v5e bf16 peak FLOP/s
     mfu = achieved / peak
+    tag = f"_{frames}f" if frames != 4 else ""
     print(json.dumps({
-        "metric": f"{model_key}_pretrain_clips_per_sec_per_chip",
+        "metric": f"{model_key}{tag}_pretrain_clips_per_sec_per_chip",
         "value": round(clips_per_sec, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": round(mfu, 4),
@@ -343,7 +349,8 @@ def _metric_name(args) -> str:
                 else f"narrator_{args.decoder}_decode_narrations_per_sec")
     if args.data:
         return "input_pipeline_clips_per_sec_per_core"
-    return f"{args.model}_pretrain_clips_per_sec_per_chip"
+    tag = f"_{args.frames}f" if getattr(args, "frames", 4) != 4 else ""
+    return f"{args.model}{tag}_pretrain_clips_per_sec_per_chip"
 
 
 def _extract_json_line(text: str):
@@ -496,6 +503,9 @@ if __name__ == "__main__":
                     help="narrator bench decoder (with --narrator)")
     ap.add_argument("--batch-size", type=int, default=0,
                     help="override the per-model default batch")
+    ap.add_argument("--frames", type=int, default=4,
+                    help="clip length; 16 = the reference fine-tune "
+                         "shape (forces remat)")
     ap.add_argument("--skip-reforward", action="store_true",
                     help="narrator: skip the reference-style re-forward "
                          "comparison run")
@@ -525,4 +535,4 @@ if __name__ == "__main__":
     elif args.data:
         data_pipeline_bench()
     else:
-        main(args.model, args.batch_size)
+        main(args.model, args.batch_size, args.frames)

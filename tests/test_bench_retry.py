@@ -158,6 +158,7 @@ def test_run_attempt_real_subprocess_phases(tmp_path):
      "narrator_xl_decode_narrations_per_sec"),
     (["--data"], "input_pipeline_clips_per_sec_per_core"),
     (["--model", "tsf_l"], "tsf_l_pretrain_clips_per_sec_per_chip"),
+    (["--frames", "16"], "tsf_b_16f_pretrain_clips_per_sec_per_chip"),
 ])
 def test_metric_name_matches_mode(argv, metric):
     class A:
@@ -167,4 +168,6 @@ def test_metric_name_matches_mode(argv, metric):
             else "tsf_b"
         decoder = argv[argv.index("--decoder") + 1] if "--decoder" in argv \
             else "base"
+        frames = int(argv[argv.index("--frames") + 1]) \
+            if "--frames" in argv else 4
     assert bench._metric_name(A()) == metric

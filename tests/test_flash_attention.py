@@ -157,11 +157,13 @@ def test_divided_phase_kernel_matches_grouped(axis):
                                        err_msg=name + "_cls")
 
 
-@pytest.mark.parametrize("F,N", [(12, 8), (4, 52)])
+@pytest.mark.parametrize("F,N", [(12, 8), (4, 52), (16, 16)])
 def test_divided_phase_time_kernel_tiled_geometries(F, N, monkeypatch):
     """The segmented temporal kernel across its Nb-tiling regimes:
-    F > 8 (the long-clip branch) and an N that does not divide the
-    forced Nb=16 tile (edge-block padding + dck/dcv row masking)."""
+    F > 8 (the long-clip branch), an N that does not divide the
+    forced Nb=16 tile (edge-block padding + dck/dcv row masking), and
+    F = 16 — the reference fine-tune clip_length (reference
+    main_finetune_retrieval.py defaults 16/4; bench.py --frames 16)."""
     from lavila_tpu.ops import attention as A
     from lavila_tpu.ops.pallas import divided as DV
     divided_phase = DV.divided_phase
