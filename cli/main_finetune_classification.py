@@ -24,7 +24,7 @@ from lavila_tpu.config import model_kwargs_from_config
 from lavila_tpu.data import transforms as T
 from lavila_tpu.data.datasets import DatasetConfig, VideoClassyDataset
 from lavila_tpu.data.label_maps import actions_to_parts, generate_label_map
-from lavila_tpu.data.loader import DataLoader
+from lavila_tpu.data.loader import DataLoader, device_prefetch
 from lavila_tpu.eval import metrics as M
 from lavila_tpu.models import build_model
 from lavila_tpu.models.dual_encoder import (VideoClassifier,
@@ -355,8 +355,9 @@ def main(args):
         loss_m = AverageMeter("loss", ":.4f")
         acc_m = AverageMeter("acc1", ":.2f")
         timer = Timer()
-        for it, batch in enumerate(loader):
-            db = shard_batch(with_multihead_labels(batch), mesh)
+        for it, db in enumerate(device_prefetch(
+                loader, lambda b: shard_batch(with_multihead_labels(b),
+                                              mesh))):
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, db, sub)
             if it % args.print_freq == 0:

@@ -22,11 +22,12 @@ import os.path as osp
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lavila_tpu.config import model_kwargs_from_config
 from lavila_tpu.data import transforms as T
 from lavila_tpu.data.datasets import DatasetConfig, VideoCaptionDataset
-from lavila_tpu.data.loader import DataLoader
+from lavila_tpu.data.loader import DataLoader, device_prefetch
 from lavila_tpu.data.tokenizers import generate_tokenizer
 from lavila_tpu.models import build_model
 from lavila_tpu.parallel import create_mesh, shard_batch, shard_params
@@ -261,15 +262,18 @@ def main(args):
         loader.set_epoch(epoch)
         loss_m = AverageMeter("loss", ":.4f")
         timer = Timer()
-        for it, batch in enumerate(loader):
+
+        def place(batch):
             keys = ["frames", "text"]
             if "mask" in batch:
                 keys.append("mask")
-            db = {k: jnp.asarray(batch[k]) for k in keys}
+            db = {k: np.asarray(batch[k]) for k in keys}
             if loss_type == "adaptive_max_margin":
-                db["relevancy"] = jnp.asarray(batch["relevancy"],
-                                              jnp.float32)
-            db = shard_batch(db, mesh)
+                db["relevancy"] = np.asarray(batch["relevancy"],
+                                             np.float32)
+            return shard_batch(db, mesh)
+
+        for it, db in enumerate(device_prefetch(loader, place)):
             state, metrics = step_fn(state, db)
             if it % args.print_freq == 0:
                 loss_m.update(float(metrics["loss"]), args.batch_size)

@@ -27,7 +27,7 @@ from lavila_tpu.config import (PretrainConfig, model_kwargs_from_config,
                                parse_config)
 from lavila_tpu.data import transforms as T
 from lavila_tpu.data.datasets import ConcatDataset, DatasetConfig, get_dataset
-from lavila_tpu.data.loader import DataLoader
+from lavila_tpu.data.loader import DataLoader, device_prefetch
 from lavila_tpu.data.tokenizers import generate_tokenizer
 from lavila_tpu.models import build_model
 from lavila_tpu.parallel import (create_mesh, param_sharding_rules,
@@ -218,15 +218,20 @@ def main(cfg: PretrainConfig):
             except Exception:
                 return 0.0
         timer = Timer()
-        for it, batch in enumerate(loader):
-            data_time.update(timer.lap())
+
+        def place(batch):
+            # async sharded device_put — issued for batch N+1 while step
+            # N runs (device_prefetch double-buffers the H2D transfer)
             keys = ["frames", "text"]
             if use_ssl:
                 keys.append("gt_indicators")
             if "mask" in batch:
                 keys.append("mask")
-            device_batch = shard_batch(
-                {k: jnp.asarray(batch[k]) for k in keys}, mesh)
+            return shard_batch({k: np.asarray(batch[k]) for k in keys},
+                               mesh)
+
+        for it, device_batch in enumerate(device_prefetch(loader, place)):
+            data_time.update(timer.lap())
             if cfg.profile_dir and total_steps == 5:
                 jax.profiler.start_trace(cfg.profile_dir)
             state, metrics = step_fn(state, device_batch)

@@ -175,14 +175,25 @@ class EvalTransform:
     the incoming T = num_temporal_clips × frames_per_clip frames are split
     into sliding windows (reference TemporalCrop), and with
     ``num_spatial_crops=3`` each window is left/center/right 3-cropped
-    (reference SpatialCrop); all views stack on a leading axis —
-    (views, T, H, W, C) with views = clips × crops."""
+    (reference SpatialCrop), and ``num_spatial_crops=6`` extends that
+    with the 3 crops of the horizontally flipped window, in the
+    reference's order — [crop0, crop1, crop2, flip-crop0, flip-crop1,
+    flip-crop2] per window (reference video_transforms.py:147-154,
+    166-186); all views stack on a leading axis — (views, T, H, W, C)
+    with views = clips × crops. Unsupported crop counts raise like the
+    reference (video_transforms.py:160-165), never silently degrade."""
 
     def __init__(self, crop_size: int, mean=OPENAI_MEAN, std=OPENAI_STD,
                  num_spatial_crops: int = 1,
                  resize_size: Optional[int] = None,
                  num_temporal_clips: int = 1,
                  frames_per_clip: Optional[int] = None):
+        if num_spatial_crops not in (1, 3, 6):
+            raise NotImplementedError(
+                f"num_spatial_crops={num_spatial_crops} unsupported; the "
+                "test-time protocol takes 1 (center), 3 (left/center/"
+                "right) or 6 (3-crop + flipped 3-crop), as in the "
+                "reference SpatialCrop")
         self.crop_size = crop_size
         self.resize_size = resize_size or crop_size
         self.mean, self.std = mean, std
@@ -200,8 +211,11 @@ class EvalTransform:
             windows = [clip]
         views = []
         for w in windows:
-            if self.num_spatial_crops == 3:
+            if self.num_spatial_crops in (3, 6):
                 views.extend(uniform_crop_3(w, self.crop_size))
+                if self.num_spatial_crops == 6:
+                    views.extend(uniform_crop_3(w[:, :, ::-1],
+                                                self.crop_size))
             else:
                 views.append(center_crop(w, self.crop_size))
         views = [normalize(v, self.mean, self.std).astype(np.float32)

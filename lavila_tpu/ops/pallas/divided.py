@@ -297,13 +297,27 @@ def _time_nblock(N, F, D, Hp, itemsize, bwd):
     the live (Nb, Hp)/(Nb, D) fp32 temporaries. Blocks are then evened
     out over the grid (ceil split) and rounded up to the 8-sublane tile;
     the backward kernel masks padded rows out of its dck/dcv reductions.
+
+    For F > 8 an extra ~F·(F+1)·Hp term models Mosaic's stack liveness
+    across the unrolled frame loop: measured on v5e, the F=16 D=768
+    backward allocated 20.26 MB of scoped VMEM at the linear model's
+    Nb=16 (4.26 MB over the 16 MB limit — the per-frame (Nb, Hp) f32
+    col/prob/dp temporaries of all unrolled iterations stay live on the
+    stack), while F=16 D=1024 compiled and ran at the Nb=8 the same
+    budget happened to pick. The term is gated at F > 8 so every
+    measured F ≤ 8 geometry (incl. the F=4 bench headline, Nb=56 bwd)
+    keeps its exact tiling.
     """
     if not bwd:
         per = (2 * (4 * F * D * itemsize + F * Hp * 4)
                + 2 * (F + 1) * Hp * 4 + 4 * D * 4)
+        if F > 8:
+            per += 2 * F * (F + 1) * Hp * 4
     else:
         per = (2 * (7 * F * D * itemsize + F * Hp * 4)
                + 3 * (F + 1) * Hp * 4 + 2 * F * D * 4 + 6 * D * 4)
+        if F > 8:
+            per += 3 * F * (F + 1) * Hp * 4
     cap = max(8, (int(10e6) // per) // 8 * 8)
     if cap >= N:
         return N

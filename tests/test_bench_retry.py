@@ -152,6 +152,52 @@ def test_run_attempt_real_subprocess_phases(tmp_path):
     assert phase == "run-timeout" and rc is None
 
 
+@pytest.mark.parametrize("argv", [
+    ["--narrator", "--frames", "16"],
+    ["--data", "--frames", "16"],
+    ["--bf16-params"],
+])
+def test_inapplicable_flags_exit_2(argv):
+    """Flags that would be silently ignored exit 2 with an explanation
+    instead (advisor r4): --frames only shapes the dual-encoder bench."""
+    import subprocess
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), *argv],
+        capture_output=True, text=True, timeout=120,
+        env={**os.environ, "JAX_PLATFORM_NAME": "cpu",
+             "JAX_PLATFORMS": "cpu"})
+    assert proc.returncode == 2
+    assert proc.stdout.strip() == ""  # nothing that looks like a record
+    assert "only applies" in proc.stderr
+
+
+def test_chip_clips_per_sec_reads_newest_bench_record(tmp_path):
+    """--data's vs_baseline chip rate tracks the newest driver-recorded
+    BENCH_r*.json instead of a hand-synced constant (round-4 weak #5)."""
+    def write(n, parsed):
+        (tmp_path / f"BENCH_r{n:02d}.json").write_text(
+            json.dumps({"n": n, "rc": 0 if parsed else 1, "parsed": parsed}))
+
+    # empty dir → constant fallback
+    assert bench.chip_clips_per_sec(str(tmp_path)) == bench.CHIP_CLIPS_PER_SEC
+    write(2, {"metric": "tsf_b_pretrain_clips_per_sec_per_chip",
+              "value": 173.75, "unit": "clips/sec/chip"})
+    write(4, {"metric": "tsf_b_pretrain_clips_per_sec_per_chip",
+              "value": 174.02, "unit": "clips/sec/chip"})
+    assert bench.chip_clips_per_sec(str(tmp_path)) == 174.02
+    # newest round failed (parsed null) → previous good round wins
+    write(5, None)
+    assert bench.chip_clips_per_sec(str(tmp_path)) == 174.02
+    # a non-headline metric in the newest round doesn't poison the scan
+    write(6, {"metric": "narrator_decode_narrations_per_sec", "value": 184.0})
+    assert bench.chip_clips_per_sec(str(tmp_path)) == 174.02
+    # malformed file is skipped
+    (tmp_path / "BENCH_r07.json").write_text("{broken")
+    assert bench.chip_clips_per_sec(str(tmp_path)) == 174.02
+    # the real repo checkout should resolve to a positive number too
+    assert bench.chip_clips_per_sec() > 0
+
+
 @pytest.mark.parametrize("argv,metric", [
     (["--narrator"], "narrator_decode_narrations_per_sec"),
     (["--narrator", "--decoder", "xl"],
