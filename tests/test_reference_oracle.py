@@ -1,0 +1,270 @@
+"""Forward-parity oracle tests against the ACTUAL reference implementation.
+
+Earlier import tests exercised the importer against *synthesized*
+torch-layout state dicts plus piecewise oracles (HF GPT-2/DistilBERT).
+These tests run the reference's own model code (read-only checkout at
+/root/reference) on small random-init geometries, export its
+``named_parameters()``, import them with ``lavila_tpu.models.import_torch``,
+and assert logit-level parity with our flax models:
+
+  (a) dual-encoder CLIP forward incl. encode_image/encode_text
+      (reference lavila/models/models.py:139-173),
+  (b) SpaceTimeTransformer feature forward with >1 frame so the
+      temporal branch + PE tiling are live (timesformer.py:345-382),
+  (c) VCLM teacher-forced forward through the gated cross-attention and
+      CoCa attention pooler (narrator.py:89-104).
+
+The reference needs three stubbed third-party modules that this image
+lacks (timm.models.layers: DropPath/to_2tuple/trunc_normal_;
+torchvision.transforms; ftfy) plus two symbols transformers 4.57 dropped
+(SequenceSummary, BeamSearchScorer) — all stubbed here, none touch the
+forward paths under test (DropPath is identity in eval mode, matching
+timm).
+"""
+
+import functools
+import importlib.machinery
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "lavila")),
+    reason="reference checkout not available")
+
+torch = pytest.importorskip("torch")
+
+
+def _stub_module(name, **attrs):
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+@functools.lru_cache(maxsize=1)
+def _reference():
+    """Stub missing deps and import the reference model modules."""
+    if "timm" not in sys.modules:
+        class DropPath(torch.nn.Module):
+            # timm stochastic depth; identity in eval mode
+            def __init__(self, drop_prob=None):
+                super().__init__()
+                self.drop_prob = drop_prob
+
+            def forward(self, x):
+                if not self.drop_prob or not self.training:
+                    return x
+                keep = 1.0 - self.drop_prob
+                shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+                return x * x.new_empty(shape).bernoulli_(keep) / keep
+
+        def to_2tuple(v):
+            return v if isinstance(v, tuple) else (v, v)
+
+        layers = _stub_module(
+            "timm.models.layers", DropPath=DropPath, to_2tuple=to_2tuple,
+            trunc_normal_=torch.nn.init.trunc_normal_)
+        models = _stub_module("timm.models", layers=layers)
+        _stub_module("timm", models=models)
+    if "torchvision" not in sys.modules:
+        tvt = _stub_module(
+            "torchvision.transforms",
+            **{n: object for n in ("Compose", "Resize", "CenterCrop",
+                                   "ToTensor", "Normalize")})
+        _stub_module("torchvision", transforms=tvt)
+    if "ftfy" not in sys.modules:
+        _stub_module("ftfy", fix_text=lambda s: s)
+    if "pkg_resources" not in sys.modules:
+        import packaging
+        import packaging.version  # noqa: F401
+        _stub_module("pkg_resources", packaging=packaging)
+
+    # `from transformers import <model>` swaps sys.modules["transformers"]
+    # for a _LazyModule — force the swap BEFORE pinning shim attributes,
+    # or they vanish with the original module object.
+    from transformers import GPT2LMHeadModel  # noqa: F401
+    tr = sys.modules["transformers"]
+    import transformers.modeling_utils as mu
+    if not hasattr(mu, "SequenceSummary"):  # dropped in transformers 4.57
+        mu.SequenceSummary = type("SequenceSummary", (torch.nn.Module,), {})
+    if "BeamSearchScorer" not in tr.__dict__:  # dropped in 4.46
+        tr.BeamSearchScorer = object
+
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import lavila.models.gpt2_gated as ref_gpt2
+    import lavila.models.models as ref_models
+    import lavila.models.narrator as ref_narrator
+    import lavila.models.openai_model as ref_openai
+    import lavila.models.timesformer as ref_tsf
+    return types.SimpleNamespace(models=ref_models, narrator=ref_narrator,
+                                 gpt2=ref_gpt2, tsf=ref_tsf,
+                                 openai=ref_openai)
+
+
+def _randomize(model, seed):
+    """Random-init every parameter (kills the zeros/identity inits —
+    time_init='zeros', tanh gates — so every branch contributes)."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.empty_like(p).normal_(0.0, 0.02, generator=g))
+    model.eval()
+    return {k: v.detach().cpu().numpy().copy()
+            for k, v in model.named_parameters()}
+
+
+def _small_ref_timesformer(ref, frames):
+    m = ref.tsf.SpaceTimeTransformer(
+        img_size=32, patch_size=16, embed_dim=32, depth=2, num_heads=4,
+        num_frames=frames, time_init="zeros",
+        attention_style="frozen-in-time", ln_pre=True,
+        act_layer=ref.openai.QuickGELU)
+    # the factories strip the timm classifier head (models.py:347-349)
+    m.head = torch.nn.Identity()
+    m.pre_logits = torch.nn.Identity()
+    m.fc = torch.nn.Identity()
+    return m
+
+
+def _our_timesformer(frames):
+    from lavila_tpu.models.timesformer import SpaceTimeTransformer
+    return SpaceTimeTransformer(
+        img_size=32, patch_size=16, embed_dim=32, depth=2, num_heads=4,
+        num_frames=frames, ln_pre=True, act="quick_gelu")
+
+
+def test_timesformer_feature_forward_parity():
+    ref = _reference()
+    F = 4
+    rt = _small_ref_timesformer(ref, F)
+    sd = _randomize(rt, seed=1)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, F, 3, 32, 32)).astype(np.float32)  # (B,T,C,H,W)
+    with torch.no_grad():
+        ref_seq = rt.forward_features(torch.from_numpy(x),
+                                      cls_at_last=False).numpy()
+        ref_cls = rt.forward_features(torch.from_numpy(x),
+                                      cls_at_last=True).numpy()
+
+    from lavila_tpu.models import import_torch as imp
+    params = imp.import_timesformer(sd, depth=2)
+    model = _our_timesformer(F)
+    ours_x = np.transpose(x, (0, 1, 3, 4, 2))  # (B, T, H, W, C)
+    our_seq = np.asarray(model.apply({"params": params}, ours_x,
+                                     cls_at_last=False))
+    our_cls = np.asarray(model.apply({"params": params}, ours_x,
+                                     cls_at_last=True))
+    np.testing.assert_allclose(our_seq, ref_seq, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(our_cls, ref_cls, rtol=2e-4, atol=2e-5)
+
+
+def test_dual_encoder_forward_parity():
+    ref = _reference()
+    F = 4
+    rt = _small_ref_timesformer(ref, F)
+    clip = ref.models.CLIP(
+        embed_dim=16, vision_width=32, vision_model=rt, context_length=16,
+        vocab_size=64, transformer_width=32, transformer_heads=4,
+        transformer_layers=2)
+    sd = _randomize(clip, seed=2)
+
+    rng = np.random.default_rng(2)
+    image = rng.normal(size=(2, 3, F, 32, 32)).astype(np.float32)  # BCTHW
+    text = rng.integers(1, 62, size=(2, 16)).astype(np.int64)
+    text[:, -1] = 63  # unique argmax → EOT position (models.py:160)
+    with torch.no_grad():
+        t_img, t_txt = torch.from_numpy(image), torch.from_numpy(text)
+        ref_out = clip(t_img, t_txt, norm_embed=False)
+        ref_img = clip.encode_image(t_img).numpy()
+        ref_txt = clip.encode_text(t_txt).numpy()
+        ref_out = {k: v.numpy() for k, v in ref_out.items()}
+
+    from lavila_tpu.models import import_torch as imp
+    from lavila_tpu.models.dual_encoder import VideoCLIP
+    from lavila_tpu.models.openai_clip import TextTransformer
+    params = imp.import_video_clip(sd, depth=2, text_layers=2, strict=True)
+    model = VideoCLIP(
+        vision_model=_our_timesformer(F),
+        text_model=TextTransformer(context_length=16, vocab_size=64,
+                                   width=32, heads=4, layers=2,
+                                   embed_dim=16),
+        vision_width=32, embed_dim=16)
+    frames = np.transpose(image, (0, 2, 3, 4, 1))  # (B, T, H, W, C)
+    out = model.apply({"params": params}, frames, text.astype(np.int32),
+                      norm_embed=False)
+    np.testing.assert_allclose(np.asarray(out["image_embed"]), ref_img,
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["text_embed"]), ref_txt,
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["image_embed"]),
+                               ref_out["image_embed"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(out["logit_scale"]),
+                               float(ref_out["logit_scale"]), rtol=1e-5)
+    # normalized path (forward's norm_embed=True branch, models.py:168-170)
+    ref_n = {k: (v / np.linalg.norm(v, axis=-1, keepdims=True)
+                 if k != "logit_scale" else v)
+             for k, v in (("image_embed", ref_img), ("text_embed", ref_txt))}
+    out_n = model.apply({"params": params}, frames, text.astype(np.int32),
+                        norm_embed=True)
+    np.testing.assert_allclose(np.asarray(out_n["image_embed"]),
+                               ref_n["image_embed"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_n["text_embed"]),
+                               ref_n["text_embed"], rtol=2e-4, atol=2e-5)
+
+
+def test_vclm_teacher_forced_forward_parity():
+    ref = _reference()
+    F = 2
+    D = 32
+    rt = _small_ref_timesformer(ref, F)
+    from transformers.models.gpt2.configuration_gpt2 import GPT2Config
+    cfg = ref.gpt2.augment_gpt2_config(
+        GPT2Config(vocab_size=64, n_positions=32, n_embd=D, n_layer=2,
+                   n_head=4), cross_attn_freq=1, gated_xattn=True)
+    decoder = ref.gpt2.GPT2LMHeadModel(cfg)
+    vclm = ref.narrator.VCLM_HF(
+        vision_width=D, vision_model=rt, text_width=D, text_decoder=decoder,
+        num_img_queries=8, dim_head=8, heads=4)
+    sd = _randomize(vclm, seed=3)
+
+    rng = np.random.default_rng(3)
+    image = rng.normal(size=(2, 3, F, 32, 32)).astype(np.float32)  # BCTHW
+    text = rng.integers(1, 64, size=(2, 8)).astype(np.int64)
+    with torch.no_grad():
+        ref_out = vclm(torch.from_numpy(image), torch.from_numpy(text))
+        # reference returns logits as (B, C, N) (narrator.py:101)
+        ref_logits = ref_out["text_tokens_logits"].numpy().transpose(0, 2, 1)
+        ref_labels = ref_out["labels"].numpy()
+        ref_pooled = vclm.encode_image(torch.from_numpy(image)).numpy()
+
+    from lavila_tpu.models import import_torch as imp
+    from lavila_tpu.models.gpt2 import (GPT2Config as OurCfg, GPT2LMHead,
+                                        augment_config)
+    from lavila_tpu.models.narrator import VCLM
+    params = imp.import_vclm(sd, vis_depth=2, gpt2_layers=2, strict=True)
+    model = VCLM(
+        vision_model=_our_timesformer(F),
+        text_decoder=GPT2LMHead(augment_config(
+            OurCfg(vocab_size=64, n_positions=32, n_embd=D, n_layer=2,
+                   n_head=4), cross_attn_freq=1, gated_xattn=True)),
+        vision_width=D, text_width=D, num_img_queries=8, dim_head=8,
+        heads=4)
+    frames = np.transpose(image, (0, 2, 3, 4, 1))
+    pooled = model.apply({"params": params}, frames,
+                         method="encode_image")
+    np.testing.assert_allclose(np.asarray(pooled), ref_pooled,
+                               rtol=2e-4, atol=2e-5)
+    out = model.apply({"params": params}, frames, text.astype(np.int32))
+    np.testing.assert_allclose(np.asarray(out["labels"]), ref_labels)
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref_logits,
+                               rtol=3e-4, atol=3e-5)
