@@ -21,7 +21,7 @@ pytrees.
 
 from __future__ import annotations
 
-from typing import Mapping, Optional
+from typing import Mapping, Optional, Sequence
 
 import numpy as np
 
@@ -283,6 +283,60 @@ def import_clip_vit(sd: Mapping[str, np.ndarray], layers: int,
         "proj": sd[p("proj")],
         "transformer": tr,
     }
+
+
+def import_resnet_clip(sd: Mapping[str, np.ndarray],
+                       layers: Sequence[int] = (3, 4, 6, 3),
+                       prefix: str = "visual.") -> tuple:
+    """OpenAI CLIP ModifiedResNet (openai_model.py:105-165) →
+    (params, batch_stats) for :class:`lavila_tpu.models.resnet_clip.
+    ModifiedResNet`. BatchNorm running stats live in flax's
+    ``batch_stats`` collection (the RN towers run frozen/eval in the
+    reference), hence the pair return."""
+    p = lambda n: prefix + n  # noqa: E731
+    params: dict = {}
+    stats: dict = {}
+
+    def bn(name, dst_name):
+        params[dst_name] = {"scale": sd[p(f"{name}.weight")],
+                            "bias": sd[p(f"{name}.bias")]}
+        stats[dst_name] = {"mean": sd[p(f"{name}.running_mean")],
+                           "var": sd[p(f"{name}.running_var")]}
+
+    for i in (1, 2, 3):
+        params[f"conv{i}"] = _conv2d(sd, p(f"conv{i}"))
+        bn(f"bn{i}", f"bn{i}")
+    for stage, blocks in enumerate(layers):
+        for b in range(blocks):
+            src = f"layer{stage + 1}.{b}"
+            dst = f"layer{stage + 1}_{b}"
+            blk = {f"conv{i}": _conv2d(sd, p(f"{src}.conv{i}"))
+                   for i in (1, 2, 3)}
+            blk_stats = {}
+            for i in (1, 2, 3):
+                blk[f"bn{i}"] = {"scale": sd[p(f"{src}.bn{i}.weight")],
+                                 "bias": sd[p(f"{src}.bn{i}.bias")]}
+                blk_stats[f"bn{i}"] = {
+                    "mean": sd[p(f"{src}.bn{i}.running_mean")],
+                    "var": sd[p(f"{src}.bn{i}.running_var")]}
+            if p(f"{src}.downsample.0.weight") in sd:
+                blk["downsample_conv"] = _conv2d(sd, p(f"{src}.downsample.0"))
+                blk["downsample_bn"] = {
+                    "scale": sd[p(f"{src}.downsample.1.weight")],
+                    "bias": sd[p(f"{src}.downsample.1.bias")]}
+                blk_stats["downsample_bn"] = {
+                    "mean": sd[p(f"{src}.downsample.1.running_mean")],
+                    "var": sd[p(f"{src}.downsample.1.running_var")]}
+            params[dst] = blk
+            stats[dst] = blk_stats
+    params["attnpool"] = {
+        "positional_embedding": sd[p("attnpool.positional_embedding")],
+        "q_proj": _dense(sd, p("attnpool.q_proj")),
+        "k_proj": _dense(sd, p("attnpool.k_proj")),
+        "v_proj": _dense(sd, p("attnpool.v_proj")),
+        "c_proj": _dense(sd, p("attnpool.c_proj")),
+    }
+    return params, stats
 
 
 # --------------------------------------------------------------------------

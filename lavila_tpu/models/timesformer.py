@@ -33,6 +33,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from lavila_tpu.ops.attention import divided_attention_split
 from lavila_tpu.ops.basic import (ACTIVATIONS, LayerNorm, Mlp, drop_path,
@@ -79,6 +80,12 @@ class DividedAttentionBlock(nn.Module):
                       for t in jnp.split(qkv(patches), 3, axis=-1))
         cls_out, p_out = divided_attention_split(qc, kc, vc, qp, kp, vp,
                                                  axis)
+        # names for remat_policy='save_attn'/'dots_attn': saving the
+        # attention-phase outputs means the backward pass re-runs the
+        # cheap elementwise/LN ops but NOT the fused attention kernels
+        # (which 'dots' misses — Pallas custom calls aren't dots)
+        cls_out = checkpoint_name(cls_out, "attn_out")
+        p_out = checkpoint_name(p_out, "attn_out")
         proj = nn.Dense(D, dtype=self.dtype, kernel_init=proj_init,
                         name="proj")
         return proj(cls_out.reshape(B, 1, D)), proj(p_out.reshape(B, F, N,
@@ -215,9 +222,19 @@ class SpaceTimeTransformer(nn.Module):
 
         block_cls = SpaceTimeBlock
         if self.remat:
-            policy = None
-            if self.remat_policy == "dots":
-                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            cp = jax.checkpoint_policies
+            policy = {
+                "full": None,
+                "dots": cp.dots_with_no_batch_dims_saveable,
+                # save only the attention-phase outputs: the backward
+                # re-runs LN/elementwise (the 336px ledger's ~61 ms of
+                # LN stats) but never the fused attention kernels
+                "save_attn": cp.save_only_these_names("attn_out"),
+                # dots + attention outputs: single-pass MXU everywhere
+                "dots_attn": cp.save_from_both_policies(
+                    cp.dots_with_no_batch_dims_saveable,
+                    cp.save_only_these_names("attn_out")),
+            }[self.remat_policy]
             block_cls = nn.remat(SpaceTimeBlock, static_argnums=(3,),
                                  policy=policy)
         # stochastic depth decay rule: linear 0 → drop_path_rate

@@ -55,7 +55,8 @@ def build_model(name: str, **kwargs) -> nn.Module:
 def _timesformer(size: str, num_frames: int, img_size: int = 224,
                  gated_xattn: bool = False, remat: bool = False,
                  drop_path_rate: float = 0.0,
-                 dtype=jnp.float32) -> SpaceTimeTransformer:
+                 dtype=jnp.float32,
+                 remat_policy: str = "full") -> SpaceTimeTransformer:
     if size == "base":
         dims = dict(patch_size=16, embed_dim=768, depth=12, num_heads=12)
     elif size == "large":
@@ -65,7 +66,8 @@ def _timesformer(size: str, num_frames: int, img_size: int = 224,
     return SpaceTimeTransformer(
         img_size=img_size, num_frames=num_frames, ln_pre=True,
         act="quick_gelu", is_tanh_gating=gated_xattn, remat=remat,
-        drop_path_rate=drop_path_rate, dtype=dtype, **dims)
+        remat_policy=remat_policy, drop_path_rate=drop_path_rate,
+        dtype=dtype, **dims)
 
 
 def _clip_text(width: int, heads: int, embed_dim: int, remat: bool,
@@ -84,10 +86,11 @@ def _clip_timesformer(size: str, img_size: int, num_frames: int,
                       project_embed_dim: int = 256,
                       drop_path_rate: float = 0.0,
                       remat: bool = False, dtype=jnp.float32,
+                      remat_policy: str = "full",
                       **_unused) -> VideoCLIP:
     vision = _timesformer(size, num_frames, img_size,
                           timesformer_gated_xattn, remat, drop_path_rate,
-                          dtype)
+                          dtype, remat_policy)
     text_width = 512 if size == "base" else 768
     text_heads = 8 if size == "base" else 12
     return VideoCLIP(
@@ -108,7 +111,7 @@ def CLIP_OPENAI_TIMESFORMER_MINI(num_frames=4, project_embed_dim=64,
     vision = SpaceTimeTransformer(
         img_size=64, patch_size=16, embed_dim=64, depth=2, num_heads=4,
         num_frames=num_frames, ln_pre=True, act="quick_gelu", remat=remat,
-        dtype=dtype)
+        remat_policy=kw.get("remat_policy", "full"), dtype=dtype)
     return VideoCLIP(
         vision_model=vision,
         text_model=TextTransformer(width=64, heads=4, layers=2,
@@ -125,7 +128,7 @@ def VCLM_OPENAI_TIMESFORMER_MINI_GPT2_MINI(num_frames=4, gated_xattn=False,
     vision = SpaceTimeTransformer(
         img_size=64, patch_size=16, embed_dim=64, depth=2, num_heads=4,
         num_frames=num_frames, ln_pre=True, act="quick_gelu", remat=remat,
-        dtype=dtype)
+        remat_policy=kw.get("remat_policy", "full"), dtype=dtype)
     cfg = augment_config(
         GPT2Config(vocab_size=50257, n_positions=128, n_embd=64, n_layer=2,
                    n_head=4), cross_attn_freq=1, gated_xattn=gated_xattn,
@@ -162,10 +165,11 @@ def _clip_hf_timesformer(size: str, img_size: int, num_frames: int,
                          projection: str = "default",
                          drop_path_rate: float = 0.0,
                          remat: bool = False, dtype=jnp.float32,
+                         remat_policy: str = "full",
                          **_unused) -> VideoCLIPHF:
     vision = _timesformer(size, num_frames, img_size,
                           timesformer_gated_xattn, remat, drop_path_rate,
-                          dtype)
+                          dtype, remat_policy)
     return VideoCLIPHF(
         vision_model=vision,
         text_model=DistilBertModel(dtype=dtype),
@@ -296,7 +300,8 @@ def VCLM_OPENAI_TIMESFORMER_BASE_GPT2(gated_xattn=False, num_frames=4,
                                       timesformer_gated_xattn=False, **kw):
     vision = _timesformer("base", num_frames, 224, timesformer_gated_xattn,
                           remat=kw.get("remat", False),
-                          dtype=kw.get("dtype", jnp.float32))
+                          dtype=kw.get("dtype", jnp.float32),
+                          remat_policy=kw.get("remat_policy", "full"))
     return _vclm(vision, 768, "gpt2", 1, gated_xattn, **kw)
 
 
@@ -305,7 +310,8 @@ def VCLM_OPENAI_TIMESFORMER_BASE_GPT2_XL(gated_xattn=False, num_frames=4,
                                          timesformer_gated_xattn=False, **kw):
     vision = _timesformer("base", num_frames, 224, timesformer_gated_xattn,
                           remat=kw.get("remat", False),
-                          dtype=kw.get("dtype", jnp.float32))
+                          dtype=kw.get("dtype", jnp.float32),
+                          remat_policy=kw.get("remat_policy", "full"))
     return _vclm(vision, 768, "gpt2-xl", 2, gated_xattn, **kw)
 
 
@@ -314,7 +320,8 @@ def VCLM_OPENAI_TIMESFORMER_LARGE_GPT2(gated_xattn=False, num_frames=4,
                                        timesformer_gated_xattn=False, **kw):
     vision = _timesformer("large", num_frames, 224, timesformer_gated_xattn,
                           remat=kw.get("remat", False),
-                          dtype=kw.get("dtype", jnp.float32))
+                          dtype=kw.get("dtype", jnp.float32),
+                          remat_policy=kw.get("remat_policy", "full"))
     return _vclm(vision, 1024, "gpt2", 1, gated_xattn, **kw)
 
 
@@ -324,7 +331,8 @@ def VCLM_OPENAI_TIMESFORMER_LARGE_GPT2_XL(gated_xattn=False, num_frames=4,
                                           **kw):
     vision = _timesformer("large", num_frames, 224, timesformer_gated_xattn,
                           remat=kw.get("remat", False),
-                          dtype=kw.get("dtype", jnp.float32))
+                          dtype=kw.get("dtype", jnp.float32),
+                          remat_policy=kw.get("remat_policy", "full"))
     return _vclm(vision, 1024, "gpt2-xl", 2, gated_xattn, **kw)
 
 
@@ -334,7 +342,8 @@ def VCLM_OPENAI_TIMESFORMER_LARGE_336PX_GPT2_XL(
         **kw):
     vision = _timesformer("large", num_frames, 336, timesformer_gated_xattn,
                           remat=kw.get("remat", False),
-                          dtype=kw.get("dtype", jnp.float32))
+                          dtype=kw.get("dtype", jnp.float32),
+                          remat_policy=kw.get("remat_policy", "full"))
     return _vclm(vision, 1024, "gpt2-xl", 3, gated_xattn, **kw)
 
 

@@ -141,3 +141,27 @@ def test_drop_path_stochastic_depth():
     out_b = m.apply(params, x, train=True,
                     rngs={"drop_path": jax.random.key(2)})
     assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_build_model_threads_remat_policy():
+    # zoo factories once swallowed remat_policy via **_unused, silently
+    # measuring 'full' in every policy experiment — keep it threaded
+    from lavila_tpu.models import build_model
+    for name in ("CLIP_OPENAI_TIMESFORMER_MINI",
+                 "CLIP_OPENAI_TIMESFORMER_BASE",
+                 "CLIP_OPENAI_TIMESFORMER_LARGE_336PX",
+                 "CLIP_OPENAI_TIMESFORMER_BASE_DISTILBERT_BASE",
+                 "VCLM_OPENAI_TIMESFORMER_MINI_GPT2_MINI",
+                 "VCLM_OPENAI_TIMESFORMER_BASE_GPT2"):
+        m = build_model(name, num_frames=2, remat=True,
+                        remat_policy="save_attn")
+        assert m.vision_model.remat_policy == "save_attn", name
+    # grads flow under every named policy (tiny geometry)
+    x = jnp.ones((1, 2, 32, 32, 3))
+    for pol in ("full", "dots", "save_attn", "dots_attn"):
+        m = tiny_timesformer(remat=True, remat_policy=pol)
+        params = m.init(jax.random.key(0), x)
+        g = jax.grad(lambda p: float(0) + (m.apply(p, x) ** 2).sum())(params)
+        total = jax.tree_util.tree_reduce(
+            lambda a, b: a + float(jnp.abs(b).sum()), g, 0.0)
+        assert np.isfinite(total) and total > 0, pol

@@ -222,6 +222,85 @@ def test_dual_encoder_forward_parity():
                                ref_n["text_embed"], rtol=2e-4, atol=2e-5)
 
 
+def test_openai_clip_vit_forward_parity():
+    """Reference openai_model.CLIP (ViT variant, openai_model.py:275-380)
+    vs our VisionTransformer + TextTransformer via import_clip_vit/text."""
+    ref = _reference()
+    clip = ref.openai.CLIP(
+        embed_dim=16, image_resolution=32, vision_layers=2, vision_width=64,
+        vision_patch_size=16, context_length=16, vocab_size=64,
+        transformer_width=64, transformer_heads=4, transformer_layers=2)
+    sd = _randomize(clip, seed=4)
+
+    rng = np.random.default_rng(4)
+    image = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)  # NCHW
+    text = rng.integers(1, 62, size=(2, 16)).astype(np.int64)
+    text[:, -1] = 63
+    with torch.no_grad():
+        ref_img = clip.encode_image(torch.from_numpy(image)).numpy()
+        ref_txt = clip.encode_text(torch.from_numpy(text)).numpy()
+        ref_seq = clip.visual(torch.from_numpy(image),
+                              cls_at_last=False).numpy()
+
+    from lavila_tpu.models import import_torch as imp
+    from lavila_tpu.models.openai_clip import (TextTransformer,
+                                               VisionTransformer)
+    vit = VisionTransformer(input_resolution=32, patch_size=16, width=64,
+                            layers=2, heads=1, output_dim=16)
+    txt = TextTransformer(context_length=16, vocab_size=64, width=64,
+                          heads=4, layers=2, embed_dim=16)
+    vparams = imp.import_clip_vit(sd, layers=2)
+    tparams = imp.import_clip_text(sd, layers=2)
+    nhwc = np.transpose(image, (0, 2, 3, 1))
+    our_img = np.asarray(vit.apply({"params": vparams}, nhwc))
+    our_seq = np.asarray(vit.apply({"params": vparams}, nhwc,
+                                   cls_at_last=False))
+    our_txt = np.asarray(txt.apply({"params": tparams},
+                                   text.astype(np.int32)))
+    np.testing.assert_allclose(our_img, ref_img, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(our_seq, ref_seq, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(our_txt, ref_txt, rtol=2e-4, atol=2e-5)
+
+
+def test_modified_resnet_forward_parity():
+    """Reference ModifiedResNet (openai_model.py:105-165) vs ours via the
+    import_resnet_clip (params, batch_stats) pair — anti-aliased strided
+    bottlenecks + mean-prepended attention pooling, eval-mode BN."""
+    ref = _reference()
+    layers = (1, 1, 1, 1)
+    rn = ref.openai.ModifiedResNet(layers=list(layers), output_dim=16,
+                                   heads=8, input_resolution=64, width=16)
+    _randomize(rn, seed=5)
+    # randomize BN running stats too (buffers are outside parameters());
+    # our BN consumes them via the batch_stats collection
+    g = torch.Generator().manual_seed(55)
+    with torch.no_grad():
+        for name, buf in rn.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(torch.empty_like(buf).normal_(0, 0.02, generator=g))
+            elif name.endswith("running_var"):
+                buf.copy_(torch.empty_like(buf).uniform_(0.5, 1.5,
+                                                         generator=g))
+    sd = {k: v.detach().cpu().numpy().copy()
+          for k, v in rn.state_dict().items()
+          if not k.endswith("num_batches_tracked")}
+
+    rng = np.random.default_rng(5)
+    image = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = rn(torch.from_numpy(image)).numpy()
+
+    from lavila_tpu.models import import_torch as imp
+    from lavila_tpu.models.resnet_clip import ModifiedResNet
+    params, stats = imp.import_resnet_clip(sd, layers=layers, prefix="")
+    model = ModifiedResNet(layers=layers, output_dim=16, heads=8,
+                           input_resolution=64, width=16)
+    out = model.apply({"params": params, "batch_stats": stats},
+                      np.transpose(image, (0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out), ref_out,
+                               rtol=5e-4, atol=5e-5)
+
+
 def test_vclm_teacher_forced_forward_parity():
     ref = _reference()
     F = 2
