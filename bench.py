@@ -100,7 +100,8 @@ def flops_per_clip(img=224, patch=16, frames=4, depth=12, dim=768,
     return f
 
 
-def main(model_key: str = "tsf_b", batch_size: int = 0, frames: int = 4):
+def main(model_key: str = "tsf_b", batch_size: int = 0, frames: int = 4,
+         remat_policy: str = "full"):
     from lavila_tpu.models import build_model
     from lavila_tpu.train.optim import make_optimizer
     from lavila_tpu.train.step import TrainState, make_clip_train_step
@@ -113,7 +114,8 @@ def main(model_key: str = "tsf_b", batch_size: int = 0, frames: int = 4):
     # main_finetune_retrieval.py / _classification.py defaults 16/4,
     # 16/2); remat is forced there — the 16f activations are ~4x the
     # pretrain shape's
-    kw = dict(remat=True) if (g["remat"] or frames > 4) else {}
+    kw = (dict(remat=True, remat_policy=remat_policy)
+          if (g["remat"] or frames > 4) else {})
     model = build_model(g["name"], num_frames=frames, dtype=jnp.bfloat16,
                         **kw)
     rng = np.random.default_rng(0)
@@ -535,6 +537,10 @@ if __name__ == "__main__":
     ap.add_argument("--frames", type=int, default=4,
                     help="clip length; 16 = the reference fine-tune "
                          "shape (forces remat)")
+    ap.add_argument("--remat-policy", default="full",
+                    choices=("full", "dots", "save_attn", "dots_attn"),
+                    help="remat policy for rematerialized benches "
+                         "(tsf_l*/--frames>4; see models/timesformer.py)")
     ap.add_argument("--skip-reforward", action="store_true",
                     help="narrator: skip the reference-style re-forward "
                          "comparison run")
@@ -549,6 +555,13 @@ if __name__ == "__main__":
     if args.bf16_params and not args.narrator:
         import sys
         print("--bf16-params only applies with --narrator", file=sys.stderr)
+        sys.exit(2)
+    if args.remat_policy != "full" and (
+            args.narrator or args.data
+            or (not BENCH_MODELS[args.model]["remat"] and args.frames <= 4)):
+        import sys
+        print("--remat-policy only applies to rematerialized dual-encoder "
+              "benches (tsf_l* or --frames > 4)", file=sys.stderr)
         sys.exit(2)
     if args.frames != 4 and (args.narrator or args.data):
         import sys
@@ -570,4 +583,4 @@ if __name__ == "__main__":
     elif args.data:
         data_pipeline_bench()
     else:
-        main(args.model, args.batch_size, args.frames)
+        main(args.model, args.batch_size, args.frames, args.remat_policy)
