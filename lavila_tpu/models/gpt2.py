@@ -131,6 +131,11 @@ def _mulreduce_decode_attention(q, k_cache, v_cache, k_new, v_new,
     return out[:, None]                                      # (B, 1, D)
 
 
+def _decode_kernel_forced() -> bool:
+    import os
+    return os.environ.get("LAVILA_DECODE_KERNEL", "") == "force"
+
+
 def _segmented_decode_attention(q, k_cache, v_cache, k_new, v_new,
                                 cache_index, n_head, head_dim,
                                 num_valid=None):
@@ -159,6 +164,21 @@ def _segmented_decode_attention(q, k_cache, v_cache, k_new, v_new,
     B, _, D = q.shape
     K = k_cache.shape[1]
     dtype = q.dtype
+    if k_new is not None and B < 128 and _decode_kernel_forced():
+        # LAVILA_DECODE_KERNEL=force: route small batches into the fused
+        # kernel too (experiment knob — the b16 XL trace showed the XLA
+        # dots' cache reads staged through VMEM in batch-quarter slices
+        # at ~125 GB/s; the kernel streams each row's slabs sequentially)
+        from lavila_tpu.ops.attention import get_attention_backend
+        from lavila_tpu.ops.pallas.decode_attention import (
+            decode_attention_fused, effective_block_b)
+        if (D >= 1280 and get_attention_backend() == "pallas"
+                and effective_block_b(
+                    B, K, D, jnp.dtype(dtype).itemsize) >= 2):
+            nv = cache_index if num_valid is None else num_valid
+            return decode_attention_fused(
+                q, k_cache, v_cache, k_new, v_new, nv, n_head, head_dim,
+                interpret=jax.default_backend() != "tpu")
     if k_new is not None and B >= 128:
         # Lane-filling batches flip XLA's cache layout to batch-minor,
         # which breaks the batched dots below (defensive full-cache
