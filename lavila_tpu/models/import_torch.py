@@ -468,7 +468,9 @@ def import_video_clip_hf(sd: Mapping[str, np.ndarray], depth: int,
             sd["visual.temporal_embed"], num_frames, load_temporal_fix)
     out = {
         "vision_model": import_timesformer(sd, depth, prefix="visual."),
-        "text_model": import_distilbert(sd, prefix="textual."),
+        "text_model": import_distilbert(
+            sd, n_layers=count_layers(sd, "textual.transformer.layer."),
+            prefix="textual."),
         "logit_scale": np.asarray(sd["logit_scale"]).reshape(()),
     }
     if projection == "default":

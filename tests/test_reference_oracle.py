@@ -222,6 +222,64 @@ def test_dual_encoder_forward_parity():
                                ref_n["text_embed"], rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("projection", ["default", "frozen_in_time"])
+def test_clip_hf_distilbert_forward_parity(projection):
+    """Reference CLIP_HF (models.py:176-290) with a real (small, random)
+    HF DistilBertModel vs our VideoCLIPHF via import_video_clip_hf —
+    covers CLS pooling, the attention mask path, and both projection
+    modes (matrix vs frozen-in-time ReLU→Linear)."""
+    ref = _reference()
+    from transformers import DistilBertConfig, DistilBertModel
+    F = 2
+    rt = _small_ref_timesformer(ref, F)
+    db = DistilBertModel(DistilBertConfig(
+        vocab_size=64, dim=32, n_heads=4, hidden_dim=64, n_layers=2,
+        max_position_embeddings=32, sinusoidal_pos_embds=False,
+        dropout=0.0, attention_dropout=0.0))
+    clip = ref.models.CLIP_HF(
+        embed_dim=16, vision_width=32, vision_model=rt, text_width=32,
+        text_model=db, text_use_cls_token=True, text_is_regressive=False,
+        projection=projection)
+    sd = _randomize(clip, seed=6)
+    sd = {("textual." + k[8:] if k.startswith("textual.") else k): v
+          for k, v in sd.items()}
+
+    rng = np.random.default_rng(6)
+    image = rng.normal(size=(2, 3, F, 32, 32)).astype(np.float32)  # BCTHW
+    text = rng.integers(1, 64, size=(2, 12)).astype(np.int64)
+    mask = np.ones_like(text)
+    mask[:, 9:] = 0  # padded tail exercises the HF attention-mask path
+    with torch.no_grad():
+        ref_out = clip(torch.from_numpy(image), torch.from_numpy(text),
+                       mask=torch.from_numpy(mask), norm_embed=True)
+        ref_out = {k: v.numpy() for k, v in ref_out.items()}
+
+    from lavila_tpu.models import import_torch as imp
+    from lavila_tpu.models.distilbert import (
+        DistilBertModel as OurDistilBert)
+    from lavila_tpu.models.dual_encoder import VideoCLIPHF
+    params = imp.import_video_clip_hf(sd, depth=2, projection=projection,
+                                      strict=True)
+    model = VideoCLIPHF(
+        vision_model=_our_timesformer(F),
+        text_model=OurDistilBert(vocab_size=64, dim=32, num_heads=4,
+                                 hidden_dim=64, n_layers=2,
+                                 max_position_embeddings=32),
+        vision_width=32, text_width=32, embed_dim=16,
+        text_use_cls_token=True, text_is_regressive=False,
+        projection=projection)
+    frames = np.transpose(image, (0, 2, 3, 4, 1))
+    out = model.apply({"params": params}, frames, text.astype(np.int32),
+                      mask.astype(np.int32), norm_embed=True)
+    np.testing.assert_allclose(np.asarray(out["image_embed"]),
+                               ref_out["image_embed"], rtol=2e-4,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["text_embed"]),
+                               ref_out["text_embed"], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(out["logit_scale"]),
+                               float(ref_out["logit_scale"]), rtol=1e-5)
+
+
 def test_openai_clip_vit_forward_parity():
     """Reference openai_model.CLIP (ViT variant, openai_model.py:275-380)
     vs our VisionTransformer + TextTransformer via import_clip_vit/text."""
