@@ -66,6 +66,8 @@ def get_args_parser():
                    help="stochastic depth for fine-tuning (reference "
                         ":70,154 — the finetune value, not the pretrain "
                         "config's)")
+    p.add_argument("--remat-policy", default="full",
+                   choices=("full", "dots", "save_attn", "dots_attn"))
     p.add_argument("--use-checkpoint", action="store_true",
                    help="activation remat on the backbone")
     p.add_argument("--label-smoothing", type=float, default=0.1)
@@ -198,6 +200,7 @@ def main(args):
     # (reference rebuilds with args.drop_path_rate, :154)
     config["drop_path_rate"] = args.drop_path_rate
     config["use_checkpoint"] = args.use_checkpoint
+    config["remat_policy"] = args.remat_policy
     model_name = config["model"]
 
     # label space

@@ -104,6 +104,8 @@ def get_args_parser():
     p.add_argument("--save-freq", type=int, default=1)
     p.add_argument("--steps", type=int, default=0)
     p.add_argument("--use-checkpoint", action="store_true")
+    p.add_argument("--remat-policy", default="full",
+                   choices=("full", "dots", "save_attn", "dots_attn"))
     p.add_argument("--evaluate", action="store_true",
                    help="validate once and exit (reference "
                         "main_finetune_retrieval.py:322-327)")
@@ -144,6 +146,7 @@ def main(args):
     # (reference rebuilds with args.drop_path_rate, :140)
     config["drop_path_rate"] = args.drop_path_rate
     config["use_checkpoint"] = args.use_checkpoint
+    config["remat_policy"] = args.remat_policy
 
     class NS:
         def __init__(self, d):

@@ -73,6 +73,9 @@ class PretrainConfig:
     disable_amp: bool = False       # amp == bf16 compute on TPU
     use_zero: bool = True           # ZeRO falls out of sharding; kept for parity
     use_checkpoint: bool = False    # activation checkpointing (remat)
+    # remat granularity when use_checkpoint: full | dots | save_attn |
+    # dots_attn (dots_attn measured best at TSF-L@336; docs/PERF.md)
+    remat_policy: str = "full"
     use_half: bool = False
     # in-training zero-shot probe (reference --eval-in-middle-freq &
     # per-epoch EK-100 probe, main_pretrain.py:359-379)
@@ -150,6 +153,7 @@ def model_kwargs_from_config(cfg) -> dict:
         gated_xattn=get("gated_xattn", False),
         drop_path_rate=get("drop_path_rate", 0.0),
         remat=get("use_checkpoint", False),
+        remat_policy=get("remat_policy", "full"),
     )
     if not str(get("model", "")).startswith("VCLM"):
         kw.pop("gated_xattn")
