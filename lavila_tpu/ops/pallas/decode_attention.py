@@ -39,30 +39,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(q_ref, k_ref, v_ref, seg_ref, segt_ref, sn_ref, bias_ref,
             out_ref, pnew_ref, *, scale: float, block_b: int):
+    # q/score_new/outputs are blocked (block_b, 1, X): Mosaic constrains
+    # the LAST TWO block dims ((8, 128)-divisible or equal to the array
+    # dims) — a middle singleton makes them (1, X), both array-equal, so
+    # any block_b (e.g. 4 at B=16, where (4, X) is illegal) lowers
     segf = seg_ref[...].astype(jnp.float32)               # (D, H)
     segt = segt_ref[...]                                  # (H, D)
     bias = bias_ref[...].astype(jnp.float32)              # (K, 1)
     for i in range(block_b):
         # minor-dim insertion is only lowerable for 32-bit types, so the
         # (D,) -> (D, 1) step happens in f32 and casts back for the dot
-        qcol = q_ref[i].astype(jnp.float32)[:, None]      # (D, 1)
+        qcol = q_ref[i, 0].astype(jnp.float32)[:, None]   # (D, 1)
         q_seg = (qcol * segf).astype(k_ref.dtype)         # (D, H)
         scores = jax.lax.dot(
             k_ref[i], q_seg,
             preferred_element_type=jnp.float32)           # (K, H)
         scores = scores * scale + bias
-        s_new = sn_ref[i].astype(jnp.float32) * scale     # (H,)
+        s_new = sn_ref[i, 0].astype(jnp.float32) * scale  # (H,)
         m = jnp.maximum(jnp.max(scores, axis=0), s_new)   # (H,)
         e_old = jnp.exp(scores - m[None])                 # (K, H)
         e_new = jnp.exp(s_new - m)                        # (H,)
         z = jnp.sum(e_old, axis=0) + e_new
         p_old = (e_old / z[None]).astype(k_ref.dtype)
-        pnew_ref[i] = (e_new / z).astype(pnew_ref.dtype)
+        pnew_ref[i, 0] = (e_new / z).astype(pnew_ref.dtype)
         p_exp = jax.lax.dot(
             p_old, segt,
             preferred_element_type=jnp.float32)           # (K, D)
         out = jnp.sum(p_exp * v_ref[i].astype(jnp.float32), axis=0)
-        out_ref[i] = out.astype(out_ref.dtype)
+        out_ref[i, 0] = out.astype(out_ref.dtype)
 
 
 def max_block_b(K: int, D: int, itemsize: int = 2) -> int:
@@ -136,16 +140,17 @@ def decode_attention_fused(q, k_cache, v_cache, k_new, v_new,
         shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
     out_old, p_new = pl.pallas_call(
         functools.partial(_kernel, scale=scale, block_b=block_b),
-        out_shape=(jax.ShapeDtypeStruct((B, D), dtype),
-                   jax.ShapeDtypeStruct((B, H), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((B, 1, D), dtype),
+                   jax.ShapeDtypeStruct((B, 1, H), jnp.float32)),
         grid=grid,
-        in_specs=[bspec(D), bspec(K, D), bspec(K, D),
-                  full(D, H), full(H, D), bspec(H), full(K, 1)],
-        out_specs=(bspec(D), bspec(H)),
+        in_specs=[bspec(1, D), bspec(K, D), bspec(K, D),
+                  full(D, H), full(H, D), bspec(1, H), full(K, 1)],
+        out_specs=(bspec(1, D), bspec(1, H)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(qf, k_cache.astype(dtype), v_cache.astype(dtype), seg,
-      seg.T, score_new, bias)
-    out = out_old + (p_new.astype(dtype) @ seg.T) * v_new[:, 0].astype(dtype)
+    )(qf[:, None], k_cache.astype(dtype), v_cache.astype(dtype), seg,
+      seg.T, score_new[:, None], bias)
+    out = (out_old[:, 0]
+           + (p_new[:, 0].astype(dtype) @ seg.T) * v_new[:, 0].astype(dtype))
     return out[:, None]
