@@ -334,8 +334,16 @@ def divided_attention_split(cls_q: jax.Array, cls_k: jax.Array,
                 jax.default_backend() != "tpu")
             return cls_out, patches.reshape(B, F, N, H, d)
         return cls_out, _spatial_flash(qp, kp, vp, cls_k, cls_v, scale)
+    # Per-phase override: LAVILA_TIME_ATTENTION=grouped/xla routes ONLY
+    # the temporal phase to the XLA paths below while the spatial phase
+    # stays fused — at F=16 the temporal kernel's F>8 liveness budget
+    # forces Nb=16/8 tiles (grids of 13/25 programs per layer with a
+    # 16-deep unrolled frame loop each) and the phase measured 56 ms of
+    # a 138 ms no-remat step, 18x its HBM floor.
+    _time_pref = os.environ.get("LAVILA_TIME_ATTENTION", "")
     if get_attention_backend() == "pallas" and (
-            axis == "time" or _space_fits_vmem):
+            (axis == "time" and _time_pref not in ("grouped", "xla"))
+            or (axis == "space" and _space_fits_vmem)):
         # fused divided-phase kernels for BOTH phases (scores, softmax,
         # PV, CLS key folded in — the whole phase per block in VMEM from
         # the token-major layout; no grouped relayout, no fp32 score
@@ -356,7 +364,8 @@ def divided_attention_split(cls_q: jax.Array, cls_k: jax.Array,
             jax.default_backend() != "tpu")
         return cls_out, patches.reshape(B, F, N, H, d)
 
-    if axis == "time" and F <= 8 and get_attention_backend() == "xla":
+    if axis == "time" and F <= 8 and (
+            get_attention_backend() == "xla" or _time_pref == "xla"):
         # XLA temporal path: unrolled VPU formulation, no relayout
         patches = _time_attention_unrolled(qp, kp, vp, cls_k, cls_v, scale)
         return cls_out, patches

@@ -287,3 +287,42 @@ def test_spatial_big_headpair_fold_matches_grouped():
     for a, b, name in zip(got_g, want_g, ["dq", "dk", "dv"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-3, err_msg=name)
+
+
+def test_time_attention_phase_override_matches_pallas(monkeypatch):
+    """LAVILA_TIME_ATTENTION=grouped routes ONLY the temporal phase to
+    the XLA grouped path (the F=16 recipe: the temporal kernel's F>8
+    tiling measured 18x its HBM floor) — values and grads must match
+    the fused route."""
+    import jax
+
+    from lavila_tpu.ops import attention as A
+    rng = np.random.default_rng(41)
+    B, F, N, H, dh = 1, 9, 8, 2, 8  # F > 8: the long-clip branch
+    shape = (B, 1 + F * N, H, dh)
+    q, k, v = (jnp.asarray(rng.normal(size=shape), jnp.float32)
+               for _ in range(3))
+    cot = jnp.asarray(rng.normal(size=shape), jnp.float32)
+
+    def run(time_pref):
+        old = A.get_attention_backend()
+        A.set_attention_backend("pallas")
+        if time_pref:
+            monkeypatch.setenv("LAVILA_TIME_ATTENTION", time_pref)
+        else:
+            monkeypatch.delenv("LAVILA_TIME_ATTENTION", raising=False)
+        try:
+            def f(q, k, v):
+                out = A.divided_attention(q, k, v, F, "time")
+                return jnp.sum(out * cot)
+            return jax.value_and_grad(f, argnums=(0, 1, 2))(q, k, v)
+        finally:
+            A.set_attention_backend(old)
+            monkeypatch.delenv("LAVILA_TIME_ATTENTION", raising=False)
+
+    want_val, want_g = run("")          # fused pallas time kernel
+    got_val, got_g = run("grouped")     # XLA grouped temporal phase
+    np.testing.assert_allclose(float(got_val), float(want_val), rtol=1e-4)
+    for a, b, name in zip(got_g, want_g, ["dq", "dk", "dv"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-3, err_msg=name)
