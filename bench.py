@@ -64,12 +64,14 @@ BENCH_MODELS = {
     # 8/GPU + ZeRO + grad-ckpt on 32GB V100s); on 16GB v5e it needs
     # remat — the recipe is documented in PARITY.md
     "tsf_l": dict(name="CLIP_OPENAI_TIMESFORMER_LARGE", img=224, patch=14,
-                  depth=24, dim=1024, text_dim=768, batch=8, remat=True),
+                  depth=24, dim=1024, text_dim=768, batch=8, remat=True,
+                  remat_policy="dots_attn"),  # 216.0 vs 234.0 ms (full)
     # the 336px HR pretrain shape (reference docs/PRETRAIN.md:24-35):
     # N=576 patches/frame exercises the key-tiled flash spatial route
     "tsf_l_336": dict(name="CLIP_OPENAI_TIMESFORMER_LARGE_336PX", img=336,
                       patch=14, depth=24, dim=1024, text_dim=768, batch=4,
-                      remat=True),
+                      remat=True,
+                      remat_policy="dots_attn"),  # 260.9 vs 274.8 (full)
 }
 
 
@@ -101,7 +103,7 @@ def flops_per_clip(img=224, patch=16, frames=4, depth=12, dim=768,
 
 
 def main(model_key: str = "tsf_b", batch_size: int = 0, frames: int = 4,
-         remat_policy: str = "full"):
+         remat_policy: str = ""):
     from lavila_tpu.models import build_model
     from lavila_tpu.train.optim import make_optimizer
     from lavila_tpu.train.step import TrainState, make_clip_train_step
@@ -114,8 +116,11 @@ def main(model_key: str = "tsf_b", batch_size: int = 0, frames: int = 4,
     # main_finetune_retrieval.py / _classification.py defaults 16/4,
     # 16/2); remat is forced there — the 16f activations are ~4x the
     # pretrain shape's
-    # remat_policy='none' disables remat outright — measured: tsf_b 16f
-    # b4 fits HBM without remat and runs 23% faster (142.4 vs 175.7 ms)
+    # default policy: per-model measured winner (dots_attn for the
+    # remat'd TSF-L geometries); remat_policy='none' disables remat
+    # outright — measured: tsf_b 16f b4 fits HBM without remat and runs
+    # 23% faster (142.4 vs 175.7 ms)
+    remat_policy = remat_policy or g.get("remat_policy", "full")
     kw = (dict(remat=True, remat_policy=remat_policy)
           if (g["remat"] or frames > 4) and remat_policy != "none" else {})
     model = build_model(g["name"], num_frames=frames, dtype=jnp.bfloat16,
@@ -539,8 +544,8 @@ if __name__ == "__main__":
     ap.add_argument("--frames", type=int, default=4,
                     help="clip length; 16 = the reference fine-tune "
                          "shape (forces remat)")
-    ap.add_argument("--remat-policy", default="full",
-                    choices=("full", "dots", "save_attn", "dots_attn",
+    ap.add_argument("--remat-policy", default="",
+                    choices=("", "full", "dots", "save_attn", "dots_attn",
                              "none"),
                     help="remat policy for rematerialized benches "
                          "(tsf_l*/--frames>4; see models/timesformer.py)")
@@ -559,7 +564,7 @@ if __name__ == "__main__":
         import sys
         print("--bf16-params only applies with --narrator", file=sys.stderr)
         sys.exit(2)
-    if args.remat_policy != "full" and (
+    if args.remat_policy not in ("", "full") and (
             args.narrator or args.data
             or (not BENCH_MODELS[args.model]["remat"] and args.frames <= 4)):
         import sys
