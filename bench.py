@@ -117,10 +117,14 @@ def main(model_key: str = "tsf_b", batch_size: int = 0, frames: int = 4,
     # 16/2); remat is forced there — the 16f activations are ~4x the
     # pretrain shape's
     # default policy: per-model measured winner (dots_attn for the
-    # remat'd TSF-L geometries); remat_policy='none' disables remat
-    # outright — measured: tsf_b 16f b4 fits HBM without remat and runs
-    # 23% faster (142.4 vs 175.7 ms)
-    remat_policy = remat_policy or g.get("remat_policy", "full")
+    # remat'd TSF-L geometries). For tsf_b at 16f the activations FIT
+    # (measured through b8) and no-remat runs 23% faster (142.4 vs
+    # 175.7 ms b4) — so non-remat models default to 'none' at long
+    # clips; pass --remat-policy dots/dots_attn explicitly if a larger
+    # batch OOMs.
+    remat_policy = remat_policy or g.get(
+        "remat_policy", "none" if (frames > 4 and not g["remat"])
+        else "full")
     kw = (dict(remat=True, remat_policy=remat_policy)
           if (g["remat"] or frames > 4) and remat_policy != "none" else {})
     model = build_model(g["name"], num_frames=frames, dtype=jnp.bfloat16,
