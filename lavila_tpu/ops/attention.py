@@ -334,15 +334,20 @@ def divided_attention_split(cls_q: jax.Array, cls_k: jax.Array,
                 jax.default_backend() != "tpu")
             return cls_out, patches.reshape(B, F, N, H, d)
         return cls_out, _spatial_flash(qp, kp, vp, cls_k, cls_v, scale)
-    # Per-phase override: LAVILA_TIME_ATTENTION=grouped/xla routes ONLY
-    # the temporal phase to the XLA paths below while the spatial phase
-    # stays fused — at F=16 the temporal kernel's F>8 liveness budget
-    # forces Nb=16/8 tiles (grids of 13/25 programs per layer with a
-    # 16-deep unrolled frame loop each) and the phase measured 56 ms of
-    # a 138 ms no-remat step, 18x its HBM floor.
+    # Temporal-phase routing: the fused time kernel wins at F <= 8 (the
+    # pretrain shape), but at F > 8 its liveness budget forces Nb=16/8
+    # tiles (13/25-program grids per layer, each a 16-deep unrolled
+    # frame loop) and it measured 56 ms of a 138 ms 16f no-remat step —
+    # 18x its HBM floor — while the XLA grouped path ran the same step
+    # at 115.5 ms (34.64 vs 28.10 clips/s b4). So F > 8 defaults to the
+    # grouped path (spatial stays fused). LAVILA_TIME_ATTENTION
+    # overrides per phase: 'pallas' forces the fused kernel at any F,
+    # 'grouped'/'xla' force the XLA paths at any F.
     _time_pref = os.environ.get("LAVILA_TIME_ATTENTION", "")
+    _time_fused = (_time_pref == "pallas"
+                   or (F <= 8 and _time_pref not in ("grouped", "xla")))
     if get_attention_backend() == "pallas" and (
-            (axis == "time" and _time_pref not in ("grouped", "xla"))
+            (axis == "time" and _time_fused)
             or (axis == "space" and _space_fits_vmem)):
         # fused divided-phase kernels for BOTH phases (scores, softmax,
         # PV, CLS key folded in — the whole phase per block in VMEM from

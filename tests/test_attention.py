@@ -290,10 +290,10 @@ def test_spatial_big_headpair_fold_matches_grouped():
 
 
 def test_time_attention_phase_override_matches_pallas(monkeypatch):
-    """LAVILA_TIME_ATTENTION=grouped routes ONLY the temporal phase to
-    the XLA grouped path (the F=16 recipe: the temporal kernel's F>8
-    tiling measured 18x its HBM floor) — values and grads must match
-    the fused route."""
+    """F > 8 now routes the temporal phase to XLA grouped by default
+    (the fused kernel's F>8 tiling measured 18x its HBM floor);
+    LAVILA_TIME_ATTENTION=pallas forces the fused kernel back. Both
+    routes must agree on values and grads."""
     import jax
 
     from lavila_tpu.ops import attention as A
@@ -320,8 +320,11 @@ def test_time_attention_phase_override_matches_pallas(monkeypatch):
             A.set_attention_backend(old)
             monkeypatch.delenv("LAVILA_TIME_ATTENTION", raising=False)
 
-    want_val, want_g = run("")          # fused pallas time kernel
-    got_val, got_g = run("grouped")     # XLA grouped temporal phase
+    want_val, want_g = run("pallas")    # fused time kernel (forced)
+    got_val, got_g = run("")            # default at F>8: XLA grouped
+    got2_val, _ = run("grouped")        # explicit override, same path
+    np.testing.assert_allclose(float(got2_val), float(got_val),
+                               rtol=1e-6)
     np.testing.assert_allclose(float(got_val), float(want_val), rtol=1e-4)
     for a, b, name in zip(got_g, want_g, ["dq", "dk", "dv"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
