@@ -157,17 +157,15 @@ def test_divided_phase_kernel_matches_grouped(axis):
                                        err_msg=name + "_cls")
 
 
-@pytest.mark.parametrize("F,N", [(12, 8), (4, 52), (16, 8)])
+@pytest.mark.parametrize("F,N", [(12, 8), (4, 52)])
 def test_divided_phase_time_kernel_tiled_geometries(F, N, monkeypatch):
     """The segmented temporal kernel across its Nb-tiling regimes:
-    F > 8 (the long-clip branch), an N that does not divide the
-    forced Nb=16 tile (edge-block padding + dck/dcv row masking), and
-    F = 16 — the reference fine-tune clip_length (reference
-    main_finetune_retrieval.py defaults 16/4; bench.py --frames 16).
-    N=8 at F=16 keeps L (and the interpret-mode grad cost on this
-    1-CPU host) down — at toy D the budget gives an untiled nblock for
-    both N=8 and N=16, so nothing is lost (tiling is covered by the
-    forced-tile N=52 case)."""
+    F > 8 (the long-clip branch, reachable via
+    LAVILA_TIME_ATTENTION=pallas now that F > 8 defaults to the XLA
+    grouped phase) and an N that does not divide the forced Nb=16 tile
+    (edge-block padding + dck/dcv row masking). A separate F=16 case
+    added nothing (same branches, same untiled nblock at toy D) and
+    cost ~30 s of interpret-mode grads on this 1-CPU host."""
     from lavila_tpu.ops import attention as A
     from lavila_tpu.ops.pallas import divided as DV
     divided_phase = DV.divided_phase

@@ -156,9 +156,10 @@ def test_build_model_threads_remat_policy():
         m = build_model(name, num_frames=2, remat=True,
                         remat_policy="save_attn")
         assert m.vision_model.remat_policy == "save_attn", name
-    # grads flow under every named policy (tiny geometry)
+    # grads flow under the checkpoint_name-based policies (full/dots
+    # are exercised all over the suite; tiny geometry)
     x = jnp.ones((1, 2, 32, 32, 3))
-    for pol in ("full", "dots", "save_attn", "dots_attn"):
+    for pol in ("save_attn", "dots_attn"):
         m = tiny_timesformer(remat=True, remat_policy=pol)
         params = m.init(jax.random.key(0), x)
         g = jax.grad(lambda p: float(0) + (m.apply(p, x) ** 2).sum())(params)
