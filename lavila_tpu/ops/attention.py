@@ -218,6 +218,44 @@ def _cls_row_vjp_bwd(res, g):
 _cls_row_attention.defvjp(_cls_row_vjp_fwd, _cls_row_vjp_bwd)
 
 
+def _time_attention_grouped_direct(qp: jax.Array, kp: jax.Array,
+                                   vp: jax.Array, cls_k: jax.Array,
+                                   cls_v: jax.Array,
+                                   scale: float) -> jax.Array:
+    """Grouped temporal attention as direct batched einsums in the NATIVE
+    frame-major layout — no explicit transposes, no CLS key/value concat.
+
+    The classic grouped path (the einsum at the bottom of
+    :func:`divided_attention_split`) transposes q/k/v to position-major
+    and concatenates a broadcast CLS key/value row before its batched
+    matmuls; at F=16 the XLA layout assignment around those explicit
+    permutes chained ~20 ms/step of relayout copies into the TSF-B b4
+    step (trace: docs/PERF.md "16 frames"). Here the einsums are issued
+    directly on the (B, F, N, H, d) tensors with n as a batch dim, and
+    the CLS key contributes a SEPARATE score column (softmax is
+    permutation-invariant over keys, so column order doesn't matter):
+
+      s[b,n,h,f,g] = Σ_d q[b,f,n,h,d]·k[b,g,n,h,d]
+      s_cls[b,n,h,f] = Σ_d q[b,f,n,h,d]·cls_k[b,h,d]
+
+    XLA then picks ONE layout for the batched dots instead of honoring
+    the hand-written permute chain, and the CLS term never materializes
+    an (F+1)-keys copy of k/v in HBM. Semantics match the grouped path
+    exactly (reference lavila/models/timesformer.py:116-137); equivalence
+    is test-enforced (tests/test_attention.py).
+    """
+    B, F, N, H, d = qp.shape
+    f32 = jnp.float32
+    s = jnp.einsum("bfnhd,bgnhd->bnhfg", qp, kp,
+                   preferred_element_type=f32) * scale    # (B,N,H,F,F)
+    s_cls = jnp.einsum("bfnhd,bhd->bnhf", qp, cls_k[:, 0],
+                       preferred_element_type=f32) * scale
+    scores = jnp.concatenate([s, s_cls[..., None]], axis=-1)
+    p = jax.nn.softmax(scores, axis=-1).astype(qp.dtype)  # (B,N,H,F,F+1)
+    out = jnp.einsum("bnhfg,bgnhd->bfnhd", p[..., :F], vp)
+    return out + jnp.einsum("bnhf,bhd->bfnhd", p[..., F], cls_v[:, 0])
+
+
 def _spatial_flash(qp: jax.Array, kp: jax.Array, vp: jax.Array,
                    cls_k: jax.Array, cls_v: jax.Array,
                    scale: float) -> jax.Array:
@@ -374,6 +412,14 @@ def divided_attention_split(cls_q: jax.Array, cls_k: jax.Array,
         # XLA temporal path: unrolled VPU formulation, no relayout
         patches = _time_attention_unrolled(qp, kp, vp, cls_k, cls_v, scale)
         return cls_out, patches
+
+    # F > 8 temporal (and LAVILA_TIME_ATTENTION=grouped): the direct
+    # einsum formulation — no hand permutes / CLS concat for XLA's layout
+    # assignment to chain relayout copies around. LAVILA_TIME_GROUPED=v1
+    # keeps the classic transpose+concat path for A/B sweeps.
+    if axis == "time" and os.environ.get("LAVILA_TIME_GROUPED", "") != "v1":
+        return cls_out, _time_attention_grouped_direct(
+            qp, kp, vp, cls_k, cls_v, scale)
 
     # --- patch tokens: grouped attention with CLS k/v prepended ----------
     def group(t):

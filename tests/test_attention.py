@@ -329,3 +329,39 @@ def test_time_attention_phase_override_matches_pallas(monkeypatch):
     for a, b, name in zip(got_g, want_g, ["dq", "dk", "dv"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-3, err_msg=name)
+
+
+def test_time_grouped_direct_matches_v1(monkeypatch):
+    """The direct-einsum grouped temporal path (no hand permutes, CLS as
+    a separate score column — the F > 8 default; docs/PERF.md "16
+    frames") must match the classic transpose+concat grouped
+    formulation (LAVILA_TIME_GROUPED=v1) on values and grads."""
+    import jax
+
+    from lavila_tpu.ops import attention as A
+    rng = np.random.default_rng(7)
+    B, F, N, H, dh = 2, 16, 7, 3, 8
+    mk = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)  # noqa: E731
+    args = tuple(mk(B, 1, H, dh) for _ in range(3)) + tuple(
+        mk(B, F, N, H, dh) for _ in range(3))
+    cot_c, cot_p = mk(B, 1, H, dh), mk(B, F, N, H, dh)
+
+    def run(variant):
+        old = A.get_attention_backend()
+        A.set_attention_backend("grouped")
+        monkeypatch.setenv("LAVILA_TIME_GROUPED", variant)
+        try:
+            def f(*xs):
+                c, p = A.divided_attention_split(*xs, axis="time")
+                return jnp.sum(c * cot_c) + jnp.sum(p * cot_p)
+            return jax.value_and_grad(f, argnums=tuple(range(6)))(*args)
+        finally:
+            A.set_attention_backend(old)
+            monkeypatch.delenv("LAVILA_TIME_GROUPED", raising=False)
+
+    want_val, want_g = run("v1")
+    got_val, got_g = run("direct")
+    np.testing.assert_allclose(float(got_val), float(want_val), rtol=1e-5)
+    for a, b in zip(got_g, want_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
