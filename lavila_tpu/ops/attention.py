@@ -250,6 +250,10 @@ def _time_attention_grouped_direct(qp: jax.Array, kp: jax.Array,
                    preferred_element_type=f32) * scale    # (B,N,H,F,F)
     s_cls = jnp.einsum("bfnhd,bhd->bnhf", qp, cls_k[:, 0],
                        preferred_element_type=f32) * scale
+    # The score concat + prob slices are measured CHEAPER than a manual
+    # two-piece softmax that would avoid them (109.9 vs 116.5 ms/step at
+    # 16f b4 — splitting the softmax by hand breaks XLA's softmax fusion
+    # patterns; docs/PERF.md "16 frames").
     scores = jnp.concatenate([s, s_cls[..., None]], axis=-1)
     p = jax.nn.softmax(scores, axis=-1).astype(qp.dtype)  # (B,N,H,F,F+1)
     out = jnp.einsum("bnhfg,bgnhd->bfnhd", p[..., :F], vp)
@@ -376,11 +380,13 @@ def divided_attention_split(cls_q: jax.Array, cls_k: jax.Array,
     # pretrain shape), but at F > 8 its liveness budget forces Nb=16/8
     # tiles (13/25-program grids per layer, each a 16-deep unrolled
     # frame loop) and it measured 56 ms of a 138 ms 16f no-remat step —
-    # 18x its HBM floor — while the XLA grouped path ran the same step
-    # at 115.5 ms (34.64 vs 28.10 clips/s b4). So F > 8 defaults to the
-    # grouped path (spatial stays fused). LAVILA_TIME_ATTENTION
-    # overrides per phase: 'pallas' forces the fused kernel at any F,
-    # 'grouped'/'xla' force the XLA paths at any F.
+    # 18x its HBM floor — while the XLA grouped-direct path ran the
+    # same step at 109.9 ms (36.39 vs 28.10 clips/s b4; a kernel v2
+    # can't beat it — seg-dot issue-waste analysis in docs/PERF.md "16
+    # frames"). So F > 8 defaults to the grouped-direct path (spatial
+    # stays fused). LAVILA_TIME_ATTENTION overrides per phase: 'pallas'
+    # forces the fused kernel at any F, 'grouped'/'xla' force the XLA
+    # paths at any F.
     _time_pref = os.environ.get("LAVILA_TIME_ATTENTION", "")
     _time_fused = (_time_pref == "pallas"
                    or (F <= 8 and _time_pref not in ("grouped", "xla")))

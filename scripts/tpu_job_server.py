@@ -14,6 +14,7 @@ fresh step AFTER setting knobs so the trace sees them. Helpers live in
 ``scripts/tpu_exp_lib.py``.
 """
 
+import gc
 import glob
 import os
 import shutil
@@ -45,6 +46,9 @@ class _Tee:
     def flush(self):
         for s in self.streams:
             s.flush()
+
+    def close(self):  # some libs close stdout handles they're given
+        self.flush()
 
 
 def main():
@@ -79,6 +83,14 @@ def main():
                     status = "FAILED"
                 finally:
                     sys.stdout, sys.stderr = old_out, old_err
+                    # Free the job's device buffers NOW: a failed job's
+                    # namespace (and exception frames) otherwise pins its
+                    # arrays in HBM and every later job inherits a
+                    # near-full chip (job 05 round 5: four instant
+                    # RESOURCE_EXHAUSTED failures after one OOM'd job).
+                    ns.clear()
+                    del ns
+                    gc.collect()
                 with open(out_path, "a") as f2:
                     f2.write(f"\n[server] {status} in "
                              f"{time.time() - t0:.1f}s\n")
