@@ -58,20 +58,25 @@ def chip_clips_per_sec(search_dir: str | None = None) -> float:
 
 # dual-encoder bench geometries (vision tower + CLIP text tower)
 BENCH_MODELS = {
+    # batch_16f: measured per-model batch for --frames 16 (the 16f
+    # activations are ~4x the 4f shape's; the 4f default batch OOMs)
     "tsf_b": dict(name="CLIP_OPENAI_TIMESFORMER_BASE", img=224, patch=16,
-                  depth=12, dim=768, text_dim=512, batch=16, remat=False),
+                  depth=12, dim=768, text_dim=512, batch=16, remat=False,
+                  batch_16f=4),  # fits no-remat through b8, batch-flat
     # reference flagship-quality model (docs/PRETRAIN.md:24-35: batch
     # 8/GPU + ZeRO + grad-ckpt on 32GB V100s); on 16GB v5e it needs
     # remat — the recipe is documented in PARITY.md
     "tsf_l": dict(name="CLIP_OPENAI_TIMESFORMER_LARGE", img=224, patch=14,
                   depth=24, dim=1024, text_dim=768, batch=8, remat=True,
-                  remat_policy="dots_attn"),  # 216.0 vs 234.0 ms (full)
+                  remat_policy="dots_attn",  # 216.0 vs 234.0 ms (full)
+                  batch_16f=2),  # 260.2 ms dots_attn; b4 fits only 'full'
     # the 336px HR pretrain shape (reference docs/PRETRAIN.md:24-35):
     # N=576 patches/frame exercises the key-tiled flash spatial route
     "tsf_l_336": dict(name="CLIP_OPENAI_TIMESFORMER_LARGE_336PX", img=336,
                       patch=14, depth=24, dim=1024, text_dim=768, batch=4,
                       remat=True,
-                      remat_policy="dots_attn"),  # 260.9 vs 274.8 (full)
+                      remat_policy="dots_attn",  # 260.9 vs 274.8 (full)
+                      batch_16f=1),
 }
 
 
@@ -111,7 +116,7 @@ def main(model_key: str = "tsf_b", batch_size: int = 0, frames: int = 4,
     # attention backend: lazy default is already 'pallas' on TPU
     # (lavila_tpu/ops/attention.py), overridable via LAVILA_ATTENTION
     g = BENCH_MODELS[model_key]
-    batch_size = batch_size or g["batch"]
+    batch_size = batch_size or (g["batch_16f"] if frames > 4 else g["batch"])
     # 16 frames = the reference fine-tune clip_length (reference
     # main_finetune_retrieval.py / _classification.py defaults 16/4,
     # 16/2); remat is forced there — the 16f activations are ~4x the

@@ -58,7 +58,7 @@ def _free_port():
     return port
 
 
-def _launch_pair(script):
+def _launch_pair(script, _attempts=2):
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     procs = [subprocess.Popen([sys.executable, "-c", script, str(i)],
                               stdout=subprocess.PIPE,
@@ -69,6 +69,14 @@ def _launch_pair(script):
     for p in procs:
         out, _ = p.communicate(timeout=600)
         outs.append(out)
+    if any(p.returncode != 0 for p in procs):
+        # Gloo's rendezvous has a fixed 30 s GetKeyValue deadline; on this
+        # one-CPU host a concurrently loaded machine can skew the two
+        # processes past it (one compiles while the other sits in the first
+        # collective).  That is a host-load artifact, not a product bug —
+        # retry once before failing.
+        if _attempts > 1 and any("DEADLINE_EXCEEDED" in o for o in outs):
+            return _launch_pair(script, _attempts - 1)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
     return outs
