@@ -171,6 +171,17 @@ def test_inapplicable_flags_exit_2(argv):
     assert "only applies" in proc.stderr
 
 
+def test_16f_default_batches():
+    """--frames 16 must pick each geometry's measured batch_16f (the
+    4-frame default batches OOM at 16 frames on the 16 GB v5e)."""
+    for key, frames, expect in [("tsf_b", 4, 16), ("tsf_b", 16, 4),
+                                ("tsf_l", 4, 8), ("tsf_l", 16, 2),
+                                ("tsf_l_336", 16, 1)]:
+        g = bench.BENCH_MODELS[key]
+        got = g["batch_16f"] if frames > 4 else g["batch"]
+        assert got == expect, (key, frames, got)
+
+
 def test_chip_clips_per_sec_reads_newest_bench_record(tmp_path):
     """--data's vs_baseline chip rate tracks the newest driver-recorded
     BENCH_r*.json instead of a hand-synced constant (round-4 weak #5)."""
