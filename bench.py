@@ -417,6 +417,24 @@ def _extract_json_line(text: str):
 
 _INIT_SENTINEL = "[bench] backend ready:"
 
+# Dual-encoder records carry analytic MFU in vs_baseline; every healthy
+# shipped geometry measures 0.25-0.51 (docs/PERF.md), while the round-5
+# tunnel-degradation window measured ~0.005 (a known-260.9 ms/step
+# config at 23.9 s/step, ~90x slow). Below this line the number says
+# more about the tunnel than the code, so the harness retries and keeps
+# the best attempt instead of recording the artifact as the round's
+# headline.
+PLAUSIBLE_MIN_MFU = 0.15
+
+
+def _implausibly_slow(rec: dict) -> bool:
+    """True when a successful dual-encoder record is so far below any
+    healthy measurement that tunnel degradation is the likely cause."""
+    vs = rec.get("vs_baseline")
+    return (rec.get("unit") == "clips/sec/chip"
+            and isinstance(vs, (int, float))
+            and 0 < vs < PLAUSIBLE_MIN_MFU)
+
 
 def _announce_backend() -> None:
     """Inner-child handshake: printed to stderr once jax.devices()
@@ -496,6 +514,7 @@ def run_with_retry(args, raw_argv, attempts: int = 3,
     import sys
 
     last_err = "unknown failure"
+    best = None  # (value, record) of the best successful attempt
     for i in range(attempts):
         phase, rc, out, err = _run_attempt(
             [sys.executable, os.path.abspath(__file__), "--_inner",
@@ -504,8 +523,24 @@ def run_with_retry(args, raw_argv, attempts: int = 3,
             sys.stderr.write(err)
         line = _extract_json_line(out)
         if phase == "done" and rc == 0 and line:
-            print(line)
-            return 0
+            rec = json.loads(line)
+            val = rec.get("value") or 0.0
+            if best is None or val > best[0]:
+                best = (val, rec)
+            if not _implausibly_slow(rec):
+                print(json.dumps(best[1]))
+                return 0
+            # A "successful" run ~90x under every healthy measurement is
+            # a tunnel artifact, not a perf result — retry and keep the
+            # best MEASURED number (never fabricate one).
+            last_err = (f"value {val} ({rec.get('vs_baseline')} MFU) is"
+                        f" below the {PLAUSIBLE_MIN_MFU}-MFU plausibility"
+                        " floor — suspected tunnel degradation")
+            print(f"bench attempt {i + 1}/{attempts}: {last_err}",
+                  file=sys.stderr)
+            if i + 1 < attempts:
+                time.sleep(backoff_s)
+            continue
         fatal = phase == "run-timeout"
         if phase == "done":
             tail = " | ".join((err or out).strip().splitlines()[-3:])
@@ -524,6 +559,14 @@ def run_with_retry(args, raw_argv, attempts: int = 3,
             break
         if i + 1 < attempts:
             time.sleep(backoff_s)
+    if best is not None:
+        # Every attempt was implausibly slow (or later ones failed): the
+        # best measured record still beats an error line, flagged so the
+        # reader knows the conditions were suspect.
+        print(f"bench: all attempts below the plausibility floor; keeping"
+              f" the best measured record ({best[0]})", file=sys.stderr)
+        print(json.dumps({**best[1], "suspect": "tunnel-degradation"}))
+        return 0
     print(json.dumps({
         "metric": _metric_name(args),
         "value": 0.0,

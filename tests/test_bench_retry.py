@@ -62,6 +62,73 @@ def test_retry_then_success(monkeypatch, capsys):
     assert "--_inner" in calls[0]
 
 
+def test_implausibly_slow_record_retries_and_keeps_best(monkeypatch,
+                                                        capsys):
+    """A 'successful' run ~90x below every healthy MFU is a tunnel
+    artifact (round-5 degradation window: a known-260.9 ms/step config
+    measured 23.9 s/step) — retry, then print the best MEASURED record
+    once a plausible one lands."""
+    calls = []
+
+    def fake_attempt(cmd, init_timeout_s, run_timeout_s):
+        calls.append(cmd)
+        if len(calls) < 2:
+            return ("done", 0, json.dumps(
+                {"metric": "tsf_b_pretrain_clips_per_sec_per_chip",
+                 "value": 1.9, "unit": "clips/sec/chip",
+                 "vs_baseline": 0.0055}) + "\n", "")
+        return ("done", 0, json.dumps(
+            {"metric": "tsf_b_pretrain_clips_per_sec_per_chip",
+             "value": 174.0, "unit": "clips/sec/chip",
+             "vs_baseline": 0.5049}) + "\n", "")
+
+    monkeypatch.setattr(bench, "_run_attempt", fake_attempt)
+    rc = bench.run_with_retry(_Args(), [], attempts=3, backoff_s=0.0)
+    cap = capsys.readouterr()
+    out = cap.out.strip().splitlines()
+    assert rc == 0
+    assert len(calls) == 2
+    assert len(out) == 1
+    assert json.loads(out[0])["value"] == 174.0
+    assert "plausibility floor" in cap.err
+
+
+def test_all_attempts_implausible_keeps_best_flagged(monkeypatch, capsys):
+    """If the degradation outlasts every attempt, the best measured
+    record is still printed (a real number beats an error line) with a
+    'suspect' flag, rc 0."""
+    vals = iter([1.9, 2.4, 2.1])
+
+    def fake_attempt(cmd, init_timeout_s, run_timeout_s):
+        v = next(vals)
+        return ("done", 0, json.dumps(
+            {"metric": "tsf_b_pretrain_clips_per_sec_per_chip",
+             "value": v, "unit": "clips/sec/chip",
+             "vs_baseline": v / 344.0}) + "\n", "")
+
+    monkeypatch.setattr(bench, "_run_attempt", fake_attempt)
+    rc = bench.run_with_retry(_Args(), [], attempts=3, backoff_s=0.0)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    assert len(out) == 1
+    rec = json.loads(out[0])
+    assert rec["value"] == 2.4  # best of the three, never fabricated
+    assert rec["suspect"] == "tunnel-degradation"
+
+
+def test_plausibility_check_skips_other_units():
+    """Narrator/data records carry different vs_baseline semantics —
+    the MFU floor must not apply to them."""
+    assert not bench._implausibly_slow(
+        {"unit": "narrations/sec", "vs_baseline": 0.01})
+    assert not bench._implausibly_slow(
+        {"unit": "clips/sec/core", "vs_baseline": 0.01})
+    assert bench._implausibly_slow(
+        {"unit": "clips/sec/chip", "vs_baseline": 0.01})
+    assert not bench._implausibly_slow(
+        {"unit": "clips/sec/chip", "vs_baseline": 0.26})
+
+
 def test_persistent_failure_emits_one_error_line(monkeypatch, capsys):
     def fake_attempt(cmd, init_timeout_s, run_timeout_s):
         return ("done", 1, "Traceback (most recent call last):\n  boom\n",
