@@ -176,7 +176,9 @@ def test_eval_ek100_mir_cli_multiview(ek100_fixture, monkeypatch):
     """--num-clips/--num-crops: multi-view MIR protocol
     (reference eval_zeroshot.py:117-125) — per-view embeddings are
     mean-pooled, so the similarity matrix keeps its (videos, texts)
-    shape while each view batch is (B, clips*crops, T, H, W, C)."""
+    shape while each view batch is (B, clips*crops, T, H, W, C).
+    num-crops 6 exercises the flipped 3-crop protocol end-to-end
+    (reference video_transforms.py:147-154)."""
     root, meta = ek100_fixture
     from cli import eval_zeroshot as ez
     seen_shapes = []
@@ -192,10 +194,10 @@ def test_eval_ek100_mir_cli_multiview(ek100_fixture, monkeypatch):
     args = ez.get_args_parser().parse_args([
         "--dataset", "ek100_mir", "--root", root, "--metadata", meta,
         "--model", "CLIP_OPENAI_TIMESFORMER_MINI", "--clip-length", "4",
-        "--num-clips", "2", "--num-crops", "3",
+        "--num-clips", "2", "--num-crops", "6",
         "--batch-size", "2", "--workers", "2"])
     out = ez.main(args)
-    assert seen_shapes[0][1:3] == (6, 4)  # 2 clips x 3 crops, T=4
+    assert seen_shapes[0][1:3] == (12, 4)  # 2 clips x (3+3 flipped), T=4
     for k in ("mAP_avg", "nDCG_avg"):
         assert 0.0 <= out[k] <= 1.0
 
