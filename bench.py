@@ -616,7 +616,7 @@ if __name__ == "__main__":
         import sys
         print("--bf16-params only applies with --narrator", file=sys.stderr)
         sys.exit(2)
-    if args.remat_policy not in ("", "full") and (
+    if args.remat_policy and (
             args.narrator or args.data
             or (not BENCH_MODELS[args.model]["remat"] and args.frames <= 4)):
         import sys

@@ -167,15 +167,20 @@ def _segmented_decode_attention(q, k_cache, v_cache, k_new, v_new,
     B, _, D = q.shape
     K = k_cache.shape[1]
     dtype = q.dtype
-    if k_new is not None and (B >= 16 or _decode_kernel_forced() == 1) \
-            and _decode_kernel_forced() != -1:
+    if k_new is not None and _decode_kernel_forced() != -1 \
+            and (B >= 16 or _decode_kernel_forced() == 1):
         # Fused decode kernel for big decoders at ANY batch >= 16: the
         # b16 XL trace showed the XLA dots' cache reads staged through
         # VMEM in batch-quarter slices at ~125 GB/s; the kernel streams
         # each row's k/v slabs sequentially. Measured (XL, 77 tok):
         # b16 29.4 vs 27.4 narr/s, b64 68.6 vs 52.3, b128 82.7 vs 75.7.
-        # LAVILA_DECODE_KERNEL=force extends to B < 16, =off disables
-        # (A/B control).
+        # Gated on D >= 1280 (gpt2-large/xl): base (D=768) measured
+        # SLOWER under the kernel (405 vs 429 narr/s b128) — its slabs
+        # are too small to amortize the per-row unrolled dots. A
+        # degenerate one-row block (prime B, or slabs past the VMEM
+        # budget) also routes away (ADVICE r3). LAVILA_DECODE_KERNEL=
+        # force extends to B < 16, =off disables — this is the ONLY
+        # kernel dispatch, so 'off' really means the XLA forms below.
         from lavila_tpu.ops.attention import get_attention_backend
         from lavila_tpu.ops.pallas.decode_attention import (
             decode_attention_fused, effective_block_b)
@@ -195,25 +200,6 @@ def _segmented_decode_attention(q, k_cache, v_cache, k_new, v_new,
         # at B < 128 (D lane-minor) the same form is 2-4x SLOWER than
         # the dots — in-lane segment reduces, the layout tax the
         # segmented formulation exists to avoid.
-        from lavila_tpu.ops.attention import get_attention_backend
-        from lavila_tpu.ops.pallas.decode_attention import (
-            decode_attention_fused, effective_block_b)
-        # block_b=2 was the measured-winning XL b128 shape; only a
-        # degenerate one-row block (prime B) routes away (ADVICE r3)
-        if (D >= 1280 and get_attention_backend() == "pallas"
-                and effective_block_b(
-                    B, K, D, jnp.dtype(dtype).itemsize) >= 2):
-            # big decoders (gpt2-large/xl): the fused Pallas kernel
-            # beats the XLA mul-reduce by another ~9% (82.7 vs 75.7
-            # narr/s, XL b128) — one VMEM pass over the k/v slabs.
-            # Base (D=768) measured SLOWER under the kernel (405 vs
-            # 429): its slabs are too small to amortize the per-row
-            # unrolled dots, so it stays on the mul-reduce; so do
-            # decode lengths whose slabs outgrow the VMEM budget.
-            nv = cache_index if num_valid is None else num_valid
-            return decode_attention_fused(
-                q, k_cache, v_cache, k_new, v_new, nv, n_head, head_dim,
-                interpret=jax.default_backend() != "tpu")
         return _mulreduce_decode_attention(
             q, k_cache, v_cache, k_new, v_new, cache_index,
             n_head, head_dim, num_valid)

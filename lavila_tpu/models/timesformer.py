@@ -223,7 +223,7 @@ class SpaceTimeTransformer(nn.Module):
         block_cls = SpaceTimeBlock
         if self.remat:
             cp = jax.checkpoint_policies
-            policy = {
+            policies = {
                 "full": None,
                 "dots": cp.dots_with_no_batch_dims_saveable,
                 # save only the attention-phase outputs: the backward
@@ -234,9 +234,16 @@ class SpaceTimeTransformer(nn.Module):
                 "dots_attn": cp.save_from_both_policies(
                     cp.dots_with_no_batch_dims_saveable,
                     cp.save_only_these_names("attn_out")),
-            }[self.remat_policy]
+            }
+            if self.remat_policy not in policies:
+                # config files reach here unvalidated (the CLIs have
+                # argparse choices) — fail with the options, not a
+                # KeyError from deep inside setup
+                raise ValueError(
+                    f"remat_policy={self.remat_policy!r} unknown; one of "
+                    f"{sorted(policies)}")
             block_cls = nn.remat(SpaceTimeBlock, static_argnums=(3,),
-                                 policy=policy)
+                                 policy=policies[self.remat_policy])
         # stochastic depth decay rule: linear 0 → drop_path_rate
         dprs = [self.drop_path_rate * i / max(self.depth - 1, 1)
                 for i in range(self.depth)]

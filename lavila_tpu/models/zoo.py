@@ -204,6 +204,8 @@ def CLIP_HF_EGOVLP_DISTILBERT_BASE(num_frames=4, **kw):
     kw.setdefault("projection", "frozen_in_time")
     vision = SpaceTimeTransformer(
         num_frames=num_frames, ln_pre=False, act="gelu",
+        remat=kw.get("remat", False),
+        remat_policy=kw.get("remat_policy", "full"),
         dtype=kw.get("dtype", jnp.float32))
     return VideoCLIPHF(
         vision_model=vision,
@@ -220,6 +222,8 @@ def CLIP_HF_EGOVLP_DISTILBERT_BASE(num_frames=4, **kw):
 def CLIP_HF_TIMESFORMER_DISTILBERT_BASE(num_frames=4, **kw):
     vision = SpaceTimeTransformer(
         num_frames=num_frames, ln_pre=False, act="gelu",
+        remat=kw.get("remat", False),
+        remat_policy=kw.get("remat_policy", "full"),
         dtype=kw.get("dtype", jnp.float32))
     return VideoCLIPHF(
         vision_model=vision,

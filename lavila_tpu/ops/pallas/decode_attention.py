@@ -1,7 +1,10 @@
 """Fused single-query decode attention over a flat (B, K, D) KV cache.
 
 Inference-only (no VJP): one VMEM pass per layer per decode step for the
-narrator's KV-cache self-attention at lane-filling batches (B >= 128).
+narrator's KV-cache self-attention — the default route for big decoders
+(D >= 1280) at every B >= 16 since round 5 (measured over the XLA
+forms: XL 29.7 vs 27.4 narr/s b16, 68.6 vs 52.3 b64, 82.7 vs 75.7
+b128).
 
 Why a kernel: at B >= 128 the XLA mul-reduce formulation
 (models/gpt2.py:_mulreduce_decode_attention) leaves the f32 product,

@@ -223,6 +223,9 @@ def test_run_attempt_real_subprocess_phases(tmp_path):
     ["--narrator", "--frames", "16"],
     ["--data", "--frames", "16"],
     ["--bf16-params"],
+    # 'full' must not be exempt: tsf_b at 4 frames never remats, so the
+    # flag would be silently dropped by main() (advisor-class bug)
+    ["--remat-policy", "full"],
 ])
 def test_inapplicable_flags_exit_2(argv):
     """Flags that would be silently ignored exit 2 with an explanation

@@ -79,6 +79,43 @@ def test_odd_lane_filling_batch_routes_to_mulreduce():
         A.set_attention_backend(old)
 
 
+def test_decode_kernel_off_disables_every_dispatch(monkeypatch):
+    """LAVILA_DECODE_KERNEL=off must mean the XLA forms at EVERY batch.
+    Round-5 review: the B >= 128 branch used to re-dispatch the kernel
+    without consulting the knob, so an 'off' A/B at b128 silently
+    measured kernel-vs-kernel."""
+    import jax
+    import lavila_tpu.ops.pallas.decode_attention as DA
+    from lavila_tpu.ops import attention as A
+
+    B, K, H, d = 128, 12, 20, 64          # kernel-eligible: D=1280
+    D = H * d
+    assert DA.effective_block_b(B, K, D) >= 2
+    old = A.get_attention_backend()
+    A.set_attention_backend("pallas")
+    orig_fused = DA.decode_attention_fused
+    hits = []
+    DA.decode_attention_fused = (
+        lambda *a, **k: hits.append(1) or orig_fused(*a, **k))
+    sd = jax.ShapeDtypeStruct
+    args = (sd((B, 1, D), jnp.bfloat16), sd((B, K, D), jnp.bfloat16),
+            sd((B, K, D), jnp.bfloat16), sd((B, 1, D), jnp.bfloat16),
+            sd((B, 1, D), jnp.bfloat16))
+    fn = lambda q, kc, vc, kn, vn: _segmented_decode_attention(  # noqa
+        q, kc, vc, kn, vn, 5, H, d)
+    try:
+        jax.eval_shape(fn, *args)
+        assert hits, "default at this geometry should dispatch the kernel"
+        hits.clear()
+        monkeypatch.setenv("LAVILA_DECODE_KERNEL", "off")
+        out = jax.eval_shape(fn, *args)
+        assert not hits, "'off' must disable the B >= 128 dispatch too"
+        assert out.shape == (B, 1, D)
+    finally:
+        DA.decode_attention_fused = orig_fused
+        A.set_attention_backend(old)
+
+
 def test_large_k_routes_to_mulreduce_not_kernel():
     """Decode lengths whose k/v slabs exceed the kernel's VMEM budget
     (max_block_b == 0) must route to the XLA mul-reduce instead of

@@ -151,10 +151,13 @@ def test_build_model_threads_remat_policy():
                  "CLIP_OPENAI_TIMESFORMER_BASE",
                  "CLIP_OPENAI_TIMESFORMER_LARGE_336PX",
                  "CLIP_OPENAI_TIMESFORMER_BASE_DISTILBERT_BASE",
+                 "CLIP_HF_EGOVLP_DISTILBERT_BASE",
+                 "CLIP_HF_TIMESFORMER_DISTILBERT_BASE",
                  "VCLM_OPENAI_TIMESFORMER_MINI_GPT2_MINI",
                  "VCLM_OPENAI_TIMESFORMER_BASE_GPT2"):
         m = build_model(name, num_frames=2, remat=True,
                         remat_policy="save_attn")
+        assert m.vision_model.remat is True, name
         assert m.vision_model.remat_policy == "save_attn", name
     # grads flow under the checkpoint_name-based policies (full/dots
     # are exercised all over the suite; tiny geometry)
@@ -166,3 +169,8 @@ def test_build_model_threads_remat_policy():
         total = jax.tree_util.tree_reduce(
             lambda a, b: a + float(jnp.abs(b).sum()), g, 0.0)
         assert np.isfinite(total) and total > 0, pol
+    # an unknown policy must fail loudly with the options (config files
+    # reach the model unvalidated), not as a KeyError from setup
+    m = tiny_timesformer(remat=True, remat_policy="dots-attn")
+    with pytest.raises(ValueError, match="dots_attn"):
+        m.init(jax.random.key(0), x)
